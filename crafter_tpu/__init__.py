@@ -1,0 +1,28 @@
+"""crafter_tpu — a TPU-native (JAX/XLA) rebuild of the Crafter benchmark.
+
+The public surface mirrors the reference package (``crafter/__init__.py:1-2``
+exports ``Env`` and ``Recorder``) and adds the batched functional core that
+is the reason this framework exists.
+"""
+
+__version__ = '0.1.0'
+
+from .config import EnvConfig, DEFAULT_CONFIG
+from . import rules
+
+# Heavier modules (env, recorder) are imported lazily so that pure-table
+# users do not pay JAX import cost; see __getattr__ below.
+_LAZY = {
+    'Env': ('crafter_tpu.env', 'Env'),
+    'Recorder': ('crafter_tpu.recorder', 'Recorder'),
+    'CrafterEnv': ('crafter_tpu.env', 'CrafterEnv'),
+    'VecEnv': ('crafter_tpu.env', 'VecEnv'),
+}
+
+
+def __getattr__(name):
+  if name in _LAZY:
+    import importlib
+    module, attr = _LAZY[name]
+    return getattr(importlib.import_module(module), attr)
+  raise AttributeError(name)

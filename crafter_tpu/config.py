@@ -1,0 +1,61 @@
+"""Static environment configuration.
+
+Mirrors the reference Env constructor arguments ``area/view/size/reward/
+length/seed`` (reference: crafter/env.py:27-29) plus TPU-specific knobs
+(entity capacity, batch size).  All fields are hashable so a config can be a
+static argument to ``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+from . import rules
+
+
+@dataclasses.dataclass(frozen=True)
+class EnvConfig:
+  """Frozen, hashable env configuration (static under jit)."""
+
+  area: Tuple[int, int] = (64, 64)     # world size in cells (env.py:28)
+  view: Tuple[int, int] = (9, 9)       # view grid incl. item rows (env.py:28)
+  size: Tuple[int, int] = (64, 64)     # observation pixels (env.py:28)
+  reward: bool = True                  # reward vs NoReward variant (env.py:29)
+  length: int = 10000                  # episode cap (env.py:28-29)
+  # TPU-specific static knobs -------------------------------------------
+  # Fixed entity-table capacity (the reference's object list is unbounded;
+  # real populations stay far below this, see step.py docstring).
+  max_entities: int = 256
+  chunk_size: Tuple[int, int] = (12, 12)  # env.py:40
+  day_length: int = 300                # daylight period (env.py:135-139)
+  balance_every: int = 10              # chunk-balance cadence (env.py:90)
+
+  @property
+  def item_rows(self) -> int:
+    # env.py:42: rows of the inventory strip under the local view.
+    return math.ceil(rules.N_ITEMS / self.view[0])
+
+  @property
+  def local_grid(self) -> Tuple[int, int]:
+    # env.py:43-44: local view grid (columns, rows).
+    return (self.view[0], self.view[1] - self.item_rows)
+
+  @property
+  def update_distance(self) -> int:
+    # env.py:88: entities update within L1 distance < 2 * max(view).
+    return 2 * max(self.view)
+
+  @property
+  def n_chunks(self) -> Tuple[int, int]:
+    return (math.ceil(self.area[0] / self.chunk_size[0]),
+            math.ceil(self.area[1] / self.chunk_size[1]))
+
+  @property
+  def center(self) -> Tuple[int, int]:
+    # env.py:71: player spawn at world center.
+    return (self.area[0] // 2, self.area[1] // 2)
+
+
+DEFAULT_CONFIG = EnvConfig()
