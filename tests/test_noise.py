@@ -1,0 +1,120 @@
+"""OpenSimplex noise kernel tests.
+
+The ``opensimplex`` package is not installable offline, so correctness is
+established by two independent formulations agreeing:
+
+* a float64 numpy brute-force evaluator summing over a *larger* offset sweep
+  (clearly correct by the attenuation-radius argument), and
+* the production float32 JAX kernel with its static 26-candidate list.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from crafter_tpu.ops import noise
+
+STRETCH, SQUISH, NORM = -1.0 / 6, 1.0 / 3, 103.0
+SWEEP = np.array([(i, j, k)
+                  for i in range(-3, 4)
+                  for j in range(-3, 4)
+                  for k in range(-3, 4)])
+
+
+def brute_noise3(pts, perm):
+  """Float64 oracle: sum over every offset in a [-3,3]^3 sweep."""
+  pts = np.asarray(pts, np.float64)
+  s = pts + STRETCH * pts.sum(-1, keepdims=True)
+  base = np.floor(s).astype(np.int64)
+  verts = base[:, None, :] + SWEEP[None]
+  vin = verts + SQUISH * verts.sum(-1, keepdims=True)
+  d = pts[:, None, :] - vin
+  attn = np.maximum(0.0, 2.0 - (d * d).sum(-1))
+  h = perm[verts[..., 0] & 0xFF]
+  h = perm[(h + verts[..., 1]) & 0xFF]
+  h = perm[(h + verts[..., 2]) & 0xFF] % 24
+  grad = noise.GRAD3.astype(np.float64)[h]
+  return (attn ** 4 * (grad * d).sum(-1)).sum(-1) / NORM
+
+
+def test_candidate_offsets_complete():
+  """No offset outside the static 26-candidate list ever contributes.
+
+  Only the *fractional* position within the stretched lattice cell matters,
+  so a dense grid over the unit cell is exhaustive up to grid resolution.
+  """
+  g = np.linspace(0, 1, 41)
+  frac = np.stack(np.meshgrid(g, g, g), -1).reshape(-1, 3)  # stretched space
+  # Map back to input space: p = s - STRETCH/(1+3*STRETCH)*sum(s)... easier:
+  # s = p + STRETCH*sum(p) => sum(s) = sum(p)*(1+3*STRETCH) => p = s - K*sum(s)
+  k = STRETCH / (1 + 3 * STRETCH)
+  pts = frac - k * frac.sum(-1, keepdims=True)
+  base = np.zeros_like(frac, dtype=np.int64)
+  cand = {tuple(c) for c in noise.CANDIDATES.tolist()}
+  others = [o for o in SWEEP.tolist() if tuple(o) not in cand]
+  for o in others:  # one offset at a time to bound memory
+    v = base + np.asarray(o)
+    vin = v + SQUISH * v.sum(-1, keepdims=True)
+    d = pts - vin
+    attn = 2.0 - (d * d).sum(-1)
+    # Margin 0.02 covers the 1/40 grid resolution.
+    assert (attn <= 0.02).all(), f'non-candidate offset contributes: {o}'
+
+
+def test_jax_matches_brute_force_oracle():
+  perm = noise.perm_from_java_seed(12345)
+  rng = np.random.default_rng(2)
+  # Worldgen-like coordinates: x/size for x in 0..127, sizes 3..15, z 0..9.
+  pts = np.stack([rng.uniform(0, 45, 4000),
+                  rng.uniform(0, 45, 4000),
+                  rng.integers(0, 10, 4000).astype(np.float64)], -1)
+  want = brute_noise3(pts, perm)
+  got = np.asarray(noise.noise3(pts, perm))
+  # float32 vs float64: points whose stretched coords fall within float32
+  # rounding of a lattice plane may floor differently; those are rare and
+  # bounded, everything else must agree tightly.
+  close = np.isclose(got, want, atol=3e-4)
+  assert close.mean() > 0.999, f'{(~close).sum()} mismatches'
+  assert np.abs(got[close] - want[close]).max() < 3e-4
+
+
+def test_value_range_and_statistics():
+  perm = noise.perm_from_key(jax.random.PRNGKey(0))
+  rng = np.random.default_rng(3)
+  pts = rng.uniform(-30, 30, (50000, 3))
+  vals = np.asarray(noise.noise3(pts, np.asarray(perm)))
+  assert np.abs(vals).max() < 1.0           # normalized range
+  assert abs(vals.mean()) < 0.01            # zero-centered
+  assert 0.05 < vals.std() < 0.5            # non-degenerate
+
+
+def test_continuity():
+  """Noise must be continuous across lattice-cell boundaries."""
+  perm = noise.perm_from_java_seed(7)
+  xs = np.linspace(0.0, 6.0, 4001)
+  pts = np.stack([xs, xs * 0.7 + 0.3, np.full_like(xs, 3.0)], -1)
+  vals = np.asarray(noise.noise3(pts, perm))
+  steps = np.abs(np.diff(vals))
+  assert steps.max() < 0.01, 'discontinuity detected'
+
+
+def test_perm_from_java_seed_is_permutation_and_seed_sensitive():
+  p1 = noise.perm_from_java_seed(0)
+  p2 = noise.perm_from_java_seed(1)
+  assert sorted(p1.tolist()) == list(range(256))
+  assert sorted(p2.tolist()) == list(range(256))
+  assert (p1 != p2).any()
+
+
+def test_octaves_match_reference_composition():
+  """_simplex-style octave mixing (worldgen.py:79-91)."""
+  perm = noise.perm_from_java_seed(99)
+  xy = np.mgrid[0:16, 0:16].transpose(1, 2, 0).astype(np.float64)
+  got = np.asarray(noise.octaved_noise3(xy, 3.0, {15: 1.0, 5: 0.15}, perm,
+                                        normalize=False))
+  p = xy.reshape(-1, 2)
+  want = (1.0 * brute_noise3(
+      np.concatenate([p / 15, np.full((256, 1), 3.0)], -1), perm)
+      + 0.15 * brute_noise3(
+          np.concatenate([p / 5, np.full((256, 1), 3.0)], -1), perm))
+  assert np.allclose(got.reshape(-1), want, atol=3e-4)
