@@ -1,0 +1,124 @@
+"""Worldgen kernel tests: structure, determinism, batching, distributions."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from crafter_tpu import rules, worldgen
+from crafter_tpu.config import EnvConfig
+
+CFG = EnvConfig()
+
+
+@pytest.fixture(scope='module')
+def world():
+  return jax.jit(worldgen.generate_world, static_argnums=1)(
+      jax.random.PRNGKey(0), CFG)
+
+
+def test_shapes_and_player(world):
+  assert world.mat_map.shape == (64, 64)
+  assert world.obj_map.shape == (64, 64)
+  assert world.ent.etype.shape == (CFG.max_entities,)
+  # Player at center in slot 0 (env.py:71,76-78).
+  assert world.ent.etype[0] == rules.E_PLAYER
+  assert tuple(world.ent.pos[0]) == (32, 32)
+  assert world.obj_map[32, 32] == 1
+  assert world.player.inventory[rules.ITEM_HEALTH] == 9
+
+
+def test_spawn_area_is_grass(world):
+  # start-area sigmoid forces grass near spawn (worldgen.py:25-33).
+  m = np.asarray(world.mat_map)
+  center = m[30:35, 30:35]
+  assert (center == rules.MAT_GRASS).mean() > 0.9
+
+
+def test_material_distribution(world):
+  m = np.asarray(world.mat_map)
+  counts = {name: (m == rules.MAT_ID[name]).sum() for name in rules.MATERIALS}
+  assert counts['grass'] > 200
+  assert counts['stone'] > 100          # mountains exist
+  assert counts['water'] + counts['sand'] > 20
+  assert counts['tree'] > 3
+  assert counts['table'] == 0 and counts['furnace'] == 0  # crafted only
+  assert (m != 0).all()                 # every cell gets a material
+
+
+def test_obj_map_consistent_with_entities(world):
+  obj = np.asarray(world.obj_map)
+  et = np.asarray(world.ent.etype)
+  pos = np.asarray(world.ent.pos)
+  live = np.nonzero(et > 0)[0]
+  for slot in live:
+    assert obj[pos[slot, 0], pos[slot, 1]] == slot + 1
+  # No stale pointers.
+  assert (np.unique(obj[obj > 0]) - 1 == np.sort(live)).all()
+
+
+def test_mob_spawn_rules(world):
+  et = np.asarray(world.ent.etype)
+  pos = np.asarray(world.ent.pos)
+  m = np.asarray(world.mat_map)
+  dist = np.sqrt(((pos - np.array([32, 32])) ** 2).sum(-1))
+  for slot in np.nonzero(et == rules.E_COW)[0]:
+    assert m[pos[slot, 0], pos[slot, 1]] == rules.MAT_GRASS  # worldgen.py:71
+    assert dist[slot] > 3
+  for slot in np.nonzero(et == rules.E_ZOMBIE)[0]:
+    assert dist[slot] > 10                                   # worldgen.py:73
+  for slot in np.nonzero(et == rules.E_SKELETON)[0]:
+    assert m[pos[slot, 0], pos[slot, 1]] == rules.MAT_PATH   # worldgen.py:75
+  # Initial healths (objects.py:267,286,319).
+  h = np.asarray(world.ent.health)
+  assert (h[et == rules.E_COW] == 3).all()
+  assert (h[et == rules.E_ZOMBIE] == 5).all()
+  assert (h[et == rules.E_SKELETON] == 3).all()
+
+
+def test_deterministic_and_seed_sensitive():
+  gen = jax.jit(worldgen.generate_world, static_argnums=1)
+  a = gen(jax.random.PRNGKey(7), CFG)
+  b = gen(jax.random.PRNGKey(7), CFG)
+  c = gen(jax.random.PRNGKey(8), CFG)
+  assert (np.asarray(a.mat_map) == np.asarray(b.mat_map)).all()
+  assert (np.asarray(a.mat_map) != np.asarray(c.mat_map)).any()
+
+
+def test_vmapped_batch():
+  keys = jax.random.split(jax.random.PRNGKey(0), 8)
+  batch = jax.jit(jax.vmap(worldgen.generate_world, in_axes=(0, None)),
+                  static_argnums=1)(keys, CFG)
+  assert batch.mat_map.shape == (8, 64, 64)
+  # Batch element equals the unbatched run with the same key.
+  single = jax.jit(worldgen.generate_world, static_argnums=1)(keys[3], CFG)
+  assert (np.asarray(batch.mat_map[3]) == np.asarray(single.mat_map)).all()
+  assert (np.asarray(batch.ent.etype[3]) == np.asarray(single.ent.etype)).all()
+  # Different keys → different worlds.
+  assert (np.asarray(batch.mat_map[0]) != np.asarray(batch.mat_map[1])).any()
+
+
+def test_average_spawn_counts():
+  """Mob seeding rates across many worlds match the reference's binomials."""
+  keys = jax.random.split(jax.random.PRNGKey(42), 24)
+  batch = jax.jit(jax.vmap(worldgen.generate_world, in_axes=(0, None)),
+                  static_argnums=1)(keys, CFG)
+  et = np.asarray(batch.ent.etype)
+  cows = (et == rules.E_COW).sum(-1).mean()
+  zombies = (et == rules.E_ZOMBIE).sum(-1).mean()
+  # ~grass_cells * 0.015 cows; grass is typically 1000-2500 of 4096 cells.
+  assert 5 < cows < 60
+  assert 1 < zombies < 40
+
+
+def test_semantic_view(world):
+  from crafter_tpu import state as state_lib
+  sem = np.asarray(state_lib.semantic_view(world, CFG))
+  # Player id = 13 (N_MATERIALS + 0) at center.
+  assert sem[32, 32] == rules.N_MATERIALS
+  # Entity cells carry entity ids, everything else material ids.
+  et = np.asarray(world.ent.etype)
+  pos = np.asarray(world.ent.pos)
+  for slot in np.nonzero(et > 0)[0]:
+    assert sem[pos[slot, 0], pos[slot, 1]] == rules.N_MATERIALS + et[slot] - 1
+  assert (sem[np.asarray(world.obj_map) == 0] < rules.N_MATERIALS).all()
