@@ -1,0 +1,452 @@
+"""Semantic tests for the step kernel against hand-derived reference cases.
+
+The reference has no tests (SURVEY.md §4); every case here is derived by
+hand from crafter/objects.py + crafter/env.py and cites the lines it checks.
+Worlds are constructed directly (not via worldgen) so each rule is isolated.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from crafter_tpu import rules, step as step_lib
+from crafter_tpu import state as state_lib
+from crafter_tpu.config import EnvConfig
+from crafter_tpu.state import Entities, State
+
+CFG = EnvConfig()
+A = rules.ACTION_ID
+
+
+def make_state(mat=rules.MAT_GRASS, player_pos=(32, 32), seed=0):
+  """Uniform-material world with only the player."""
+  w, h = CFG.area
+  mat_map = jnp.full((w, h), mat, jnp.uint8)
+  obj_map = jnp.zeros((w, h), jnp.int32)
+  ent = state_lib.empty_entities(CFG)
+  ent = ent.replace(
+      etype=ent.etype.at[0].set(rules.E_PLAYER),
+      pos=ent.pos.at[0].set(jnp.asarray(player_pos, jnp.int32)),
+      health=ent.health.at[0].set(9))
+  obj_map = obj_map.at[player_pos[0], player_pos[1]].set(1)
+  return State(
+      mat_map=mat_map, obj_map=obj_map, ent=ent,
+      player=state_lib.init_player(), step=jnp.int32(0),
+      key=jax.random.key(seed),
+      unlocked=jnp.zeros((rules.N_ACHIEVEMENTS,), bool),
+      env_last_health=jnp.int32(9),
+      chunk_touched=jnp.zeros(CFG.n_chunks, bool))
+
+
+def set_mat(state, pos, mat):
+  return state.replace(mat_map=state.mat_map.at[pos[0], pos[1]].set(mat))
+
+
+def add_entity(state, slot, etype, pos, health=1, aux=0, facing=0):
+  ent = state.ent.replace(
+      etype=state.ent.etype.at[slot].set(etype),
+      pos=state.ent.pos.at[slot].set(jnp.asarray(pos, jnp.int32)),
+      health=state.ent.health.at[slot].set(health),
+      aux=state.ent.aux.at[slot].set(aux),
+      facing=state.ent.facing.at[slot].set(facing))
+  obj_map = state.obj_map.at[pos[0], pos[1]].set(slot + 1)
+  return state.replace(ent=ent, obj_map=obj_map)
+
+
+def set_inv(state, **items):
+  inv = state.player.inventory
+  for name, v in items.items():
+    inv = inv.at[rules.ITEM_ID[name]].set(v)
+  return state.replace(player=state.player.replace(
+      inventory=inv, last_health=inv[rules.ITEM_HEALTH]),
+      env_last_health=inv[rules.ITEM_HEALTH])
+
+
+STEP = jax.jit(lambda s, a: step_lib.step(s, a, CFG))
+
+
+def run(state, action):
+  return STEP(state, jnp.int32(action))
+
+
+class TestMovement:
+  def test_move_and_facing(self):
+    # objects.py:174-177: facing set, position updated on walkable material.
+    s, _ = run(make_state(), A['move_left'])
+    assert tuple(s.ent.pos[0]) == (31, 32)
+    assert int(s.player.facing) == rules.DIR_LEFT
+    assert int(s.obj_map[31, 32]) == 1 and int(s.obj_map[32, 32]) == 0
+
+  def test_blocked_by_material_still_faces(self):
+    # objects.py:176: facing updates even when the move is blocked.
+    st = set_mat(make_state(), (31, 32), rules.MAT_STONE)
+    s, _ = run(st, A['move_left'])
+    assert tuple(s.ent.pos[0]) == (32, 32)
+    assert int(s.player.facing) == rules.DIR_LEFT
+
+  def test_blocked_by_object(self):
+    st = add_entity(make_state(), 1, rules.E_COW, (31, 32), health=3)
+    # Freeze the cow far... cows move; use stone so cow can't move into us?
+    # Simpler: cow may wander but the player must not enter (31,32) pre-move.
+    s, _ = run(st, A['move_left'])
+    # Player can only be at 32,32 still (cell occupied at decision time).
+    assert tuple(s.ent.pos[0]) == (32, 32)
+
+  def test_lava_kills(self):
+    # objects.py:178-179: stepping into lava sets health to 0.
+    st = set_mat(make_state(), (31, 32), rules.MAT_LAVA)
+    s, out = run(st, A['move_left'])
+    assert int(s.player.inventory[rules.ITEM_HEALTH]) == 0
+    assert bool(out.done) and bool(out.dead)
+    assert float(out.reward) == pytest.approx(-0.9)  # -9/10
+
+  def test_walk_off_map_blocked(self):
+    st = make_state(player_pos=(0, 32))
+    s, _ = run(st, A['move_left'])
+    assert tuple(s.ent.pos[0]) == (0, 32)
+
+
+class TestCollect:
+  def test_collect_wood(self):
+    # data.yaml:58, objects.py:214-229.
+    st = set_mat(make_state(), (32, 33), rules.MAT_TREE)  # facing down
+    s, out = run(st, A['do'])
+    assert int(s.player.inventory[rules.ITEM_ID['wood']]) == 1
+    assert int(s.mat_map[32, 33]) == rules.MAT_GRASS  # leaves grass
+    assert int(s.player.achievements[rules.ACH_ID['collect_wood']]) == 1
+    assert float(out.reward) == pytest.approx(1.0)
+
+  def test_collect_stone_requires_pickaxe(self):
+    st = set_mat(make_state(), (32, 33), rules.MAT_STONE)
+    s, _ = run(st, A['do'])
+    assert int(s.player.inventory[rules.ITEM_ID['stone']]) == 0
+    assert int(s.mat_map[32, 33]) == rules.MAT_STONE
+    st = set_inv(st, wood_pickaxe=1)
+    s, _ = run(st, A['do'])
+    assert int(s.player.inventory[rules.ITEM_ID['stone']]) == 1
+    assert int(s.mat_map[32, 33]) == rules.MAT_PATH
+
+  def test_drink_water_resets_thirst(self):
+    # objects.py:215-218: thirst resets even before the collect table runs.
+    st = set_mat(make_state(), (32, 33), rules.MAT_WATER)
+    st = st.replace(player=st.player.replace(thirst=jnp.int32(30)))
+    s, _ = run(st, A['do'])
+    assert int(s.player.inventory[rules.ITEM_DRINK]) == 9  # clamped at max
+    # thirst reset to 0 then +2 for the awake tick (objects.py:138-139).
+    assert int(s.player.thirst) == 2
+
+  def test_collect_diamond_needs_iron_pickaxe(self):
+    st = set_mat(make_state(), (32, 33), rules.MAT_DIAMOND)
+    st = set_inv(st, iron_pickaxe=1)
+    s, _ = run(st, A['do'])
+    assert int(s.player.inventory[rules.ITEM_ID['diamond']]) == 1
+    assert int(s.player.achievements[rules.ACH_ID['collect_diamond']]) == 1
+
+
+class TestPlaceMake:
+  def test_place_stone(self):
+    st = set_inv(make_state(), stone=1)
+    s, _ = run(st, A['place_stone'])
+    assert int(s.mat_map[32, 33]) == rules.MAT_STONE
+    assert int(s.player.inventory[rules.ITEM_ID['stone']]) == 0
+    assert int(s.player.achievements[rules.ACH_ID['place_stone']]) == 1
+
+  def test_place_stone_on_water(self):
+    # data.yaml:67: stone placeable on water.
+    st = set_mat(set_inv(make_state(), stone=1), (32, 33), rules.MAT_WATER)
+    s, _ = run(st, A['place_stone'])
+    assert int(s.mat_map[32, 33]) == rules.MAT_STONE
+
+  def test_place_table_needs_two_wood(self):
+    st = set_inv(make_state(), wood=1)
+    s, _ = run(st, A['place_table'])
+    assert int(s.mat_map[32, 33]) == rules.MAT_GRASS
+    st = set_inv(make_state(), wood=2)
+    s, _ = run(st, A['place_table'])
+    assert int(s.mat_map[32, 33]) == rules.MAT_TABLE
+    assert int(s.player.inventory[rules.ITEM_ID['wood']]) == 0
+
+  def test_place_plant_spawns_entity(self):
+    st = set_inv(make_state(), sapling=1)
+    s, _ = run(st, A['place_plant'])
+    assert int(s.obj_map[32, 33]) > 0
+    slot = int(s.obj_map[32, 33]) - 1
+    assert int(s.ent.etype[slot]) == rules.E_PLANT
+    assert int(s.ent.aux[slot]) == 0  # placed plants do not grow this tick
+    assert int(s.player.achievements[rules.ACH_ID['place_plant']]) == 1
+
+  def test_make_wood_pickaxe_needs_table(self):
+    st = set_inv(make_state(), wood=1)
+    s, _ = run(st, A['make_wood_pickaxe'])
+    assert int(s.player.inventory[rules.ITEM_ID['wood_pickaxe']]) == 0
+    st = set_mat(st, (33, 33), rules.MAT_TABLE)  # diagonal counts (3x3)
+    s, _ = run(st, A['make_wood_pickaxe'])
+    assert int(s.player.inventory[rules.ITEM_ID['wood_pickaxe']]) == 1
+    assert int(s.player.inventory[rules.ITEM_ID['wood']]) == 0
+
+  def test_make_iron_pickaxe_needs_furnace_too(self):
+    st = set_inv(make_state(), wood=1, coal=1, iron=1)
+    st = set_mat(st, (31, 32), rules.MAT_TABLE)
+    s, _ = run(st, A['make_iron_pickaxe'])
+    assert int(s.player.inventory[rules.ITEM_ID['iron_pickaxe']]) == 0
+    st = set_mat(st, (33, 32), rules.MAT_FURNACE)
+    s, _ = run(st, A['make_iron_pickaxe'])
+    assert int(s.player.inventory[rules.ITEM_ID['iron_pickaxe']]) == 1
+
+  def test_nearby_window_empty_on_edge(self):
+    # engine.py:95-103: numpy slice [x-1:x+2] is empty at x==0, so crafting
+    # next to the map edge fails even with an adjacent table.
+    st = make_state(player_pos=(0, 32))
+    st = set_inv(st, wood=1)
+    st = set_mat(st, (1, 32), rules.MAT_TABLE)
+    s, _ = run(st, A['make_wood_pickaxe'])
+    assert int(s.player.inventory[rules.ITEM_ID['wood_pickaxe']]) == 0
+
+
+class TestCombat:
+  def test_attack_cow_and_eat(self):
+    # objects.py:205-212: killing a cow grants +6 food and resets hunger.
+    st = add_entity(make_state(), 1, rules.E_COW, (32, 33), health=1)
+    st = set_inv(st, food=3)
+    st = st.replace(player=st.player.replace(hunger=jnp.int32(40)))
+    s, out = run(st, A['do'])
+    assert int(s.player.inventory[rules.ITEM_FOOD]) == 9
+    assert int(s.player.achievements[rules.ACH_ID['eat_cow']]) == 1
+    assert int(s.player.hunger) == 2  # reset then +2 awake
+    # The cow dies in its own update this tick (health<=0 at start).
+    assert int(s.ent.etype[1]) == 0
+    assert int(s.obj_map[32, 33]) == 0
+
+  def test_sword_damage_tiers(self):
+    # objects.py:182-187: base 1, wood 2, stone 3, iron 5.
+    for items, expected_hp in [({}, 4), (dict(wood_sword=1), 3),
+                               (dict(stone_sword=1), 2),
+                               (dict(iron_sword=1), 0)]:
+      st = add_entity(make_state(), 1, rules.E_ZOMBIE, (32, 33), health=5)
+      st = set_inv(st, **items)
+      s, _ = run(st, A['do'])
+      assert int(s.ent.health[1]) == expected_hp, items
+
+  def test_defeat_zombie_achievement(self):
+    st = add_entity(make_state(), 1, rules.E_ZOMBIE, (32, 33), health=1)
+    s, _ = run(st, A['do'])
+    assert int(s.player.achievements[rules.ACH_ID['defeat_zombie']]) == 1
+    assert int(s.ent.etype[1]) == 0
+
+  def test_eat_ripe_plant(self):
+    # objects.py:188-192: only ripe plants (grown > 300) are edible.
+    st = add_entity(make_state(), 1, rules.E_PLANT, (32, 33), health=1,
+                    aux=301)
+    st = set_inv(st, food=2)
+    s, _ = run(st, A['do'])
+    assert int(s.player.inventory[rules.ITEM_FOOD]) == 6
+    assert int(s.player.achievements[rules.ACH_ID['eat_plant']]) == 1
+    assert int(s.ent.aux[1]) == 1  # grown reset to 0, then +1 this tick
+
+  def test_unripe_plant_not_eaten(self):
+    st = add_entity(make_state(), 1, rules.E_PLANT, (32, 33), health=1,
+                    aux=10)
+    st = set_inv(st, food=2)
+    s, _ = run(st, A['do'])
+    assert int(s.player.inventory[rules.ITEM_FOOD]) == 2
+
+
+class TestZombie:
+  def test_zombie_attacks_adjacent(self):
+    # objects.py:302-312: melee damage 2, cooldown 5 set on hit.
+    # Surround with stone so the zombie cannot move away.
+    st = make_state(mat=rules.MAT_STONE, player_pos=(32, 32))
+    st = set_mat(st, (32, 32), rules.MAT_GRASS)
+    st = set_mat(st, (32, 33), rules.MAT_GRASS)
+    st = add_entity(st, 1, rules.E_ZOMBIE, (32, 33), health=5)
+    s, out = run(st, A['noop'])
+    assert int(s.player.inventory[rules.ITEM_HEALTH]) == 7
+    assert int(s.ent.aux[1]) == 5
+    assert float(out.reward) == pytest.approx(-0.2)
+    # Next tick: cooldown ticks down instead of damage.
+    s2, _ = run(s, A['noop'])
+    assert int(s2.player.inventory[rules.ITEM_HEALTH]) == 7
+    assert int(s2.ent.aux[1]) == 4
+
+  def test_zombie_hits_sleeping_player_for_7(self):
+    st = make_state(mat=rules.MAT_STONE, player_pos=(32, 32))
+    st = set_mat(st, (32, 33), rules.MAT_GRASS)
+    st = add_entity(st, 1, rules.E_ZOMBIE, (32, 33), health=5)
+    st = set_inv(st, energy=3)
+    st = st.replace(player=st.player.replace(sleeping=jnp.asarray(True)))
+    s, _ = run(st, A['noop'])
+    assert int(s.player.inventory[rules.ITEM_HEALTH]) == 2
+
+  def test_dying_zombie_still_attacks(self):
+    # objects.py:294-312: removal at update start does not skip the attack.
+    st = make_state(mat=rules.MAT_STONE, player_pos=(32, 32))
+    st = set_mat(st, (32, 33), rules.MAT_GRASS)
+    st = add_entity(st, 1, rules.E_ZOMBIE, (32, 33), health=0)
+    s, _ = run(st, A['noop'])
+    assert int(s.ent.etype[1]) == 0  # removed
+    assert int(s.player.inventory[rules.ITEM_HEALTH]) == 7  # but it hit us
+
+
+class TestArrow:
+  def test_arrow_flies(self):
+    st = add_entity(make_state(), 1, rules.E_ARROW, (28, 28),
+                    facing=rules.DIR_RIGHT)
+    s, _ = run(st, A['noop'])
+    assert tuple(s.ent.pos[1]) == (29, 28)
+    assert int(s.obj_map[29, 28]) == 2 and int(s.obj_map[28, 28]) == 0
+
+  def test_arrow_hits_player(self):
+    st = add_entity(make_state(), 1, rules.E_ARROW, (31, 32),
+                    facing=rules.DIR_RIGHT)
+    s, _ = run(st, A['noop'])
+    assert int(s.player.inventory[rules.ITEM_HEALTH]) == 7
+    assert int(s.ent.etype[1]) == 0  # despawned on hit
+
+  def test_arrow_destroys_table(self):
+    # objects.py:380-382: table/furnace hit by an arrow becomes path.
+    st = set_mat(make_state(), (29, 28), rules.MAT_TABLE)
+    st = add_entity(st, 1, rules.E_ARROW, (28, 28), facing=rules.DIR_RIGHT)
+    s, _ = run(st, A['noop'])
+    assert int(s.mat_map[29, 28]) == rules.MAT_PATH
+    assert int(s.ent.etype[1]) == 0
+
+  def test_arrow_despawns_on_stone(self):
+    st = set_mat(make_state(), (29, 28), rules.MAT_STONE)
+    st = add_entity(st, 1, rules.E_ARROW, (28, 28), facing=rules.DIR_RIGHT)
+    s, _ = run(st, A['noop'])
+    assert int(s.mat_map[29, 28]) == rules.MAT_STONE
+    assert int(s.ent.etype[1]) == 0
+
+  def test_arrow_crosses_water(self):
+    # objects.py:369-371: arrows fly over water and lava.
+    st = set_mat(make_state(), (29, 28), rules.MAT_WATER)
+    st = add_entity(st, 1, rules.E_ARROW, (28, 28), facing=rules.DIR_RIGHT)
+    s, _ = run(st, A['noop'])
+    assert tuple(s.ent.pos[1]) == (29, 28)
+
+
+class TestPlant:
+  def test_plant_grows(self):
+    st = add_entity(make_state(), 1, rules.E_PLANT, (28, 28), health=1)
+    s, _ = run(st, A['noop'])
+    assert int(s.ent.aux[1]) == 1
+
+  def test_plant_eaten_by_adjacent_cow(self):
+    # objects.py:405-411 — pen the cow in stone so it stays adjacent.
+    st = make_state(mat=rules.MAT_STONE)
+    st = set_mat(st, (32, 32), rules.MAT_GRASS)
+    st = add_entity(st, 1, rules.E_PLANT, (28, 28), health=1)
+    st = set_mat(st, (28, 29), rules.MAT_GRASS)
+    st = add_entity(st, 2, rules.E_COW, (28, 29), health=3)
+    s, _ = run(st, A['noop'])
+    assert int(s.ent.etype[1]) == 0  # health 1 -> 0 -> removed
+
+  def test_far_plant_frozen(self):
+    # env.py:87-89: objects beyond L1 distance 18 do not update.
+    st = add_entity(make_state(), 1, rules.E_PLANT, (2, 2), health=1)
+    s, _ = run(st, A['noop'])
+    assert int(s.ent.aux[1]) == 0
+
+
+class TestLifeStats:
+  def test_hunger_drains_food(self):
+    # objects.py:133-137: hunger ticks +1/step awake; food -1 at >25.
+    st = make_state()
+    s = st
+    for _ in range(26):
+      s, _ = run(s, A['noop'])
+    assert int(s.player.inventory[rules.ITEM_FOOD]) == 8
+    assert int(s.player.hunger) == 0
+
+  def test_sleep_recovers_energy(self):
+    # objects.py:142-148 + :117-119.
+    st = set_inv(make_state(), energy=1)
+    s, _ = run(st, A['sleep'])
+    assert bool(s.player.sleeping)
+    for _ in range(11):
+      s, _ = run(s, A['noop'])
+    assert int(s.player.inventory[rules.ITEM_ENERGY]) > 1
+
+  def test_wake_up_achievement(self):
+    # objects.py:103-108: wake when energy is full again.
+    st = set_inv(make_state(), energy=8)
+    st = st.replace(player=st.player.replace(sleeping=jnp.asarray(True),
+                                             fatigue=jnp.int32(-19)))
+    s = st
+    for _ in range(40):
+      s, _ = run(s, A['noop'])
+      if not bool(s.player.sleeping):
+        break
+    assert not bool(s.player.sleeping)
+    assert int(s.player.achievements[rules.ACH_ID['wake_up']]) == 1
+
+  def test_health_regen(self):
+    # objects.py:153-167: +1 health once recover exceeds 25.
+    st = set_inv(make_state(), health=5)
+    s = st
+    for _ in range(26):
+      s, _ = run(s, A['noop'])
+    assert int(s.player.inventory[rules.ITEM_HEALTH]) == 6
+
+  def test_starvation_degen(self):
+    st = set_inv(make_state(), food=0)
+    s = st
+    for _ in range(16):
+      s, _ = run(s, A['noop'])
+    assert int(s.player.inventory[rules.ITEM_HEALTH]) == 8
+
+
+class TestEpisode:
+  def test_length_cap(self):
+    cfg = EnvConfig(length=5)
+    st = make_state()
+    sf = jax.jit(lambda s, a: step_lib.step(s, a, cfg))
+    s = st
+    for i in range(5):
+      s, out = sf(s, jnp.int32(0))
+    assert bool(out.done) and not bool(out.dead)
+
+  def test_reward_only_first_unlock(self):
+    # env.py:99-104: +1.0 only when the unlock set grows.
+    st = set_mat(make_state(), (32, 33), rules.MAT_TREE)
+    s, out1 = run(st, A['do'])
+    s = set_mat(s, (32, 33), rules.MAT_TREE)
+    s, out2 = run(s, A['do'])
+    assert float(out1.reward) == pytest.approx(1.0)
+    assert float(out2.reward) == pytest.approx(0.0)
+    assert int(s.player.achievements[rules.ACH_ID['collect_wood']]) == 2
+
+  def test_noop_determinism(self):
+    st = make_state()
+    a, _ = run(st, A['noop'])
+    b, _ = run(st, A['noop'])
+    assert jax.tree.all(jax.tree.map(
+        lambda x, y: bool(jnp.all(x == y)), a, b))
+
+
+class TestBalance:
+  def test_zombies_spawn_at_night_in_touched_chunks(self):
+    # env.py:141-155: zombie target 3.5-3*light on grass chunks >= 50.
+    st = make_state()
+    st = st.replace(chunk_touched=jnp.ones(CFG.n_chunks, bool),
+                    step=jnp.int32(209))  # step -> 210: deepest night
+    light = float(state_lib.daylight(jnp.int32(210), 300))
+    assert light < 0.01
+    s = st
+    for _ in range(60):  # stays night until step ~279
+      s, _ = run(s, A['noop'])
+    zombies = int((s.ent.etype == rules.E_ZOMBIE).sum())
+    assert zombies > 0
+
+  def test_no_spawn_in_untouched_chunks(self):
+    st = make_state()  # chunk_touched all false except... none set
+    s = st
+    for _ in range(50):
+      s, _ = run(s, A['noop'])
+    # Only chunks that ever held an entity balance; the player's own chunk
+    # becomes touched, so spawns can only be there (and are blocked by the
+    # span distance 6 within a 12x12 chunk most of the time).
+    zpos = s.ent.pos[s.ent.etype == rules.E_ZOMBIE]
+    for p in np.asarray(zpos):
+      assert (p // 12 == np.asarray([32, 32]) // 12).all()
