@@ -1,0 +1,230 @@
+"""Environment API: functional core, Gym-compatible wrapper, batched VecEnv.
+
+Three surfaces over the same kernels:
+
+* ``CrafterEnv`` — the pure functional core (gymnax-style):
+  ``reset(key) -> (state, obs)`` and ``step(state, action) -> (state, obs,
+  reward, done, info)``.  Everything jit/vmap/pjit-compatible.
+* ``Env`` — drop-in replacement for the reference's Gym API
+  (reference: crafter/env.py:25-179): ``reset() -> obs``,
+  ``step(a) -> (obs, reward, done, info)``, ``render(size)``,
+  ``observation_space``/``action_space``/``action_names``.
+* ``VecEnv`` — N envs stepped in lockstep on device, with **partial-batch
+  auto-reset**: world generation is the only expensive kernel (multi-octave
+  noise over the 64×64 grid), so instead of re-generating all N worlds under
+  a select every step (the standard JAX-RL trick, which would dominate the
+  step cost), each step regenerates only a fixed-size sub-batch of the envs
+  that finished.  Finished-env count per step is ~N/episode_len (Poisson),
+  so ``reset_batch`` defaults comfortably above it; an env that cannot be
+  reset this step (overflow) stays terminal and is picked next step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from . import render as render_lib
+from . import rules
+from . import state as state_lib
+from . import step as step_lib
+from . import worldgen
+from .config import DEFAULT_CONFIG, EnvConfig
+from .state import State
+
+try:  # Mirror the reference's optional gym dependency (env.py:11-22).
+  import gymnasium as _gym
+  DiscreteSpace = _gym.spaces.Discrete
+  BoxSpace = _gym.spaces.Box
+except ImportError:  # pragma: no cover
+  import collections
+  DiscreteSpace = collections.namedtuple('DiscreteSpace', 'n')
+  BoxSpace = collections.namedtuple('BoxSpace', 'low, high, shape, dtype')
+
+
+class CrafterEnv:
+  """Pure functional env core.  All methods are jittable pure functions."""
+
+  def __init__(self, cfg: EnvConfig = DEFAULT_CONFIG):
+    self.cfg = cfg
+    self.atlas = render_lib.bake_atlas(cfg.size, cfg.view, cfg.item_rows)
+
+  @property
+  def num_actions(self) -> int:
+    return rules.N_ACTIONS
+
+  def reset(self, key: jax.Array) -> Tuple[State, jax.Array]:
+    state = worldgen.generate_world(key, self.cfg)
+    return state, self.observe(state)
+
+  def step(self, state: State, action: jax.Array):
+    state, out = step_lib.step(state, action, self.cfg)
+    obs = self.observe(state)
+    info = self.info(state, out)
+    reward = out.reward if self.cfg.reward else jnp.float32(0.0)
+    return state, obs, reward, out.done, info
+
+  def observe(self, state: State) -> jax.Array:
+    return render_lib.render(state, self.cfg, self.atlas, self.cfg.size)
+
+  def info(self, state: State, out: step_lib.StepOut) -> dict:
+    """The reference's info dict, as arrays (env.py:108-115)."""
+    return dict(
+        inventory=state.player.inventory,
+        achievements=state.player.achievements,
+        discount=1.0 - out.dead.astype(jnp.float32),
+        semantic=state_lib.semantic_view(state, self.cfg).astype(jnp.uint8),
+        player_pos=state.ent.pos[0],
+        reward=out.reward)
+
+
+class Env:
+  """Gym-compatible single env mirroring the reference constructor
+  (crafter/env.py:27-29): area/view/size/reward/length/seed."""
+
+  def __init__(self, area=(64, 64), view=(9, 9), size=(64, 64),
+               reward=True, length=10000, seed=None):
+    view = tuple(view) if hasattr(view, '__len__') else (view, view)
+    size = tuple(size) if hasattr(size, '__len__') else (size, size)
+    seed = np.random.randint(0, 2 ** 31 - 1) if seed is None else seed
+    self.cfg = EnvConfig(area=tuple(area), view=view, size=size,
+                         reward=reward, length=length)
+    self._core = CrafterEnv(self.cfg)
+    self._seed = seed
+    self._episode = 0
+    self._state: Optional[State] = None
+    self._reset_fn = jax.jit(self._core.reset)
+    self._step_fn = jax.jit(self._core.step)
+    # Some libraries expect these attributes (env.py:54-56).
+    self.reward_range = None
+    self.metadata = None
+
+  @property
+  def observation_space(self):
+    return BoxSpace(0, 255, tuple(self.cfg.size) + (3,), np.uint8)
+
+  @property
+  def action_space(self):
+    return DiscreteSpace(rules.N_ACTIONS)
+
+  @property
+  def action_names(self):
+    return list(rules.ACTIONS)
+
+  def reset(self):
+    self._episode += 1
+    key = jax.random.fold_in(jax.random.key(self._seed), self._episode)
+    self._state, obs = self._reset_fn(key)
+    return np.asarray(obs)
+
+  def step(self, action):
+    self._state, obs, reward, done, info = self._step_fn(
+        self._state, jnp.int32(action))
+    info = {
+        'inventory': {name: int(info['inventory'][i])
+                      for i, name in enumerate(rules.ITEMS)},
+        'achievements': {name: int(info['achievements'][i])
+                         for i, name in enumerate(rules.ACHIEVEMENTS)},
+        'discount': float(info['discount']),
+        'semantic': np.asarray(info['semantic']),
+        'player_pos': np.asarray(info['player_pos']),
+        'reward': float(info['reward']),
+    }
+    return np.asarray(obs), float(reward), bool(done), info
+
+  def render(self, size=None):
+    size = tuple(size) if size is not None else self.cfg.size
+    atlas = render_lib.bake_atlas(size, self.cfg.view, self.cfg.item_rows)
+    return np.asarray(
+        render_lib.render(self._state, self.cfg, atlas, size))
+
+
+@struct.dataclass
+class VecState:
+  """Batched env state plus per-env reset bookkeeping."""
+
+  env: State               # every leaf batched along axis 0
+  episode: jax.Array       # (N,) int32 episodes started
+  home_key: jax.Array      # (N,) per-env base PRNG key
+
+
+class VecEnv:
+  """N lockstep envs on device with partial-batch auto-reset.
+
+  ``step(actions)`` returns the *post-autoreset* observation, so finished
+  envs hand back the first frame of their next episode (the standard
+  batched-RL contract); the terminal step's reward/done/info describe the
+  episode that just ended.
+  """
+
+  def __init__(self, num_envs: int, cfg: EnvConfig = DEFAULT_CONFIG,
+               seed: int = 0, reset_batch: Optional[int] = None,
+               sharding=None):
+    self.num_envs = num_envs
+    self.cfg = cfg
+    self.core = CrafterEnv(cfg)
+    self.reset_batch = min(num_envs, reset_batch or max(64, num_envs // 32))
+    self._sharding = sharding
+    self._home = jax.vmap(lambda i: jax.random.fold_in(
+        jax.random.key(seed), i))(jnp.arange(num_envs))
+    self._reset_all = jax.jit(self._reset_all_impl)
+    self._step = jax.jit(self._step_impl, donate_argnums=(0,))
+    self.state: Optional[VecState] = None
+
+  def _reset_all_impl(self, home):
+    keys = jax.vmap(jax.random.fold_in)(home, jnp.ones
+                                        ((self.num_envs,), jnp.uint32))
+    env = jax.vmap(lambda k: worldgen.generate_world(k, self.cfg))(keys)
+    obs = jax.vmap(self.core.observe)(env)
+    vs = VecState(env=env,
+                  episode=jnp.ones((self.num_envs,), jnp.int32),
+                  home_key=home)
+    return vs, obs
+
+  def _step_impl(self, vs: VecState, actions: jax.Array):
+    env, out = jax.vmap(lambda s, a: step_lib.step(s, a, self.cfg))(
+        vs.env, actions)
+    info = jax.vmap(self.core.info)(env, out)
+
+    # Partial-batch auto-reset: regenerate worlds for up to `reset_batch`
+    # finished envs; the rest of the batch pays nothing.
+    r = self.reset_batch
+    score = out.done.astype(jnp.int32)
+    _, idx = jax.lax.top_k(score, r)          # stable: lowest index first
+    sel_done = out.done[idx]
+    episode = vs.episode + jnp.zeros_like(vs.episode)
+    ep_sel = episode[idx] + 1
+    keys = jax.vmap(jax.random.fold_in)(vs.home_key[idx],
+                                        ep_sel.astype(jnp.uint32))
+    fresh = jax.vmap(lambda k: worldgen.generate_world(k, self.cfg))(keys)
+    sub = jax.tree.map(lambda leaf: leaf[idx], env)
+    merged = jax.tree.map(
+        lambda old, new: jnp.where(
+            sel_done.reshape((r,) + (1,) * (old.ndim - 1)), new, old),
+        sub, fresh)
+    env = jax.tree.map(lambda full, m: full.at[idx].set(m), env, merged)
+    episode = episode.at[idx].add(sel_done.astype(jnp.int32))
+
+    obs = jax.vmap(self.core.observe)(env)
+    reward = out.reward if self.cfg.reward else jnp.zeros_like(out.reward)
+    vs = VecState(env=env, episode=episode, home_key=vs.home_key)
+    return vs, obs, reward, out.done, info
+
+  def reset(self):
+    self.state, obs = self._reset_all(self._home)
+    if self._sharding is not None:
+      self.state = jax.device_put(self.state, self._sharding_tree())
+    return obs
+
+  def step(self, actions):
+    actions = jnp.asarray(actions, jnp.int32)
+    self.state, obs, reward, done, info = self._step(self.state, actions)
+    return obs, reward, done, info
+
+  def _sharding_tree(self):
+    return jax.tree.map(lambda _: self._sharding, self.state)

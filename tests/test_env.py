@@ -1,0 +1,124 @@
+"""Environment API tests: Gym surface, batching consistency, auto-reset."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import crafter_tpu
+from crafter_tpu import rules
+from crafter_tpu.config import EnvConfig
+from crafter_tpu.env import CrafterEnv, VecEnv
+
+
+class TestGymSurface:
+  def test_spaces(self):
+    # env.py:58-68.
+    env = crafter_tpu.Env(seed=0)
+    assert env.observation_space.shape == (64, 64, 3)
+    assert env.observation_space.dtype == np.uint8
+    assert env.action_space.n == 17
+    assert env.action_names[0] == 'noop'
+    assert len(env.action_names) == 17
+
+  def test_reset_step_contract(self):
+    env = crafter_tpu.Env(seed=0)
+    obs = env.reset()
+    assert obs.shape == (64, 64, 3) and obs.dtype == np.uint8
+    obs, reward, done, info = env.step(0)
+    assert isinstance(reward, float) and isinstance(done, bool)
+    for key in ('inventory', 'achievements', 'discount', 'semantic',
+                'player_pos', 'reward'):
+      assert key in info, key
+    assert info['inventory']['health'] == 9
+    assert set(info['achievements']) == set(rules.ACHIEVEMENTS)
+    assert info['semantic'].shape == (64, 64)
+    assert info['discount'] == 1.0
+
+  def test_noreward_variant_keeps_info_reward(self):
+    # env.py:116-117.
+    env = crafter_tpu.Env(seed=0, reward=False)
+    env.reset()
+    # Walk into a tree for a guaranteed eventual unlock is fiddly; instead
+    # check that returned reward is always exactly 0.0.
+    for a in [1, 2, 3, 4, 5]:
+      _, reward, _, info = env.step(a)
+      assert reward == 0.0
+      assert isinstance(info['reward'], float)
+
+  def test_same_seed_same_episode(self):
+    a, b = crafter_tpu.Env(seed=7), crafter_tpu.Env(seed=7)
+    oa, ob = a.reset(), b.reset()
+    assert (oa == ob).all()
+    for i in range(20):
+      ra = a.step(i % 17)
+      rb = b.step(i % 17)
+      assert (ra[0] == rb[0]).all() and ra[1] == rb[1] and ra[2] == rb[2]
+
+  def test_different_episodes_differ(self):
+    env = crafter_tpu.Env(seed=3)
+    o1 = env.reset()
+    o2 = env.reset()
+    assert (o1 != o2).any()
+
+
+class TestFunctionalCore:
+  def test_vmap_consistency(self):
+    """Env i of a batch must equal the same env stepped alone (SURVEY §4c)."""
+    core = CrafterEnv(EnvConfig())
+    keys = jax.random.split(jax.random.key(0), 4)
+    states, _ = jax.vmap(core.reset)(keys)
+    actions = jnp.asarray([0, 1, 5, 6])
+    bstates, bobs, brew, bdone, _ = jax.vmap(core.step)(states, actions)
+    for i in range(4):
+      s_i = jax.tree.map(lambda x: x[i], states)
+      s1, o1, r1, d1, _ = core.step(s_i, actions[i])
+      assert bool(jnp.all(o1 == bobs[i]))
+      assert float(r1) == float(brew[i])
+      assert jax.tree.all(jax.tree.map(
+          lambda a, b: bool(jnp.all(a == b)), s1,
+          jax.tree.map(lambda x: x[i], bstates)))
+
+  def test_jit_stability(self):
+    core = CrafterEnv(EnvConfig())
+    reset = jax.jit(core.reset)
+    step = jax.jit(core.step)
+    s, o = reset(jax.random.key(0))
+    for i in range(3):
+      s, o, r, d, info = step(s, jnp.int32(i))
+    assert o.shape == (64, 64, 3)
+
+
+class TestVecEnv:
+  def test_autoreset_on_length(self):
+    cfg = EnvConfig(length=10)
+    env = VecEnv(num_envs=8, cfg=cfg, seed=0, reset_batch=8)
+    env.reset()
+    done_total = 0
+    for i in range(25):
+      _, _, done, _ = env.step(np.zeros(8, np.int64))
+      done_total += int(np.asarray(done).sum())
+    # Every env hits the 10-step cap twice in 25 steps.
+    assert done_total == 16
+    assert (np.asarray(env.state.episode) == 3).all()
+    assert (np.asarray(env.state.env.step) == 5).all()
+
+  def test_autoreset_overflow_defers(self):
+    cfg = EnvConfig(length=10)
+    env = VecEnv(num_envs=8, cfg=cfg, seed=0, reset_batch=2)
+    env.reset()
+    for i in range(10):
+      _, _, done, _ = env.step(np.zeros(8, np.int64))
+    assert int(np.asarray(done).sum()) == 8   # all finished together
+    # Only 2 were reset; the others report done again next step.
+    _, _, done, _ = env.step(np.zeros(8, np.int64))
+    assert int(np.asarray(done).sum()) == 6
+    episodes = np.asarray(env.state.episode)
+    assert episodes.sum() == 8 + 4
+
+  def test_obs_batch_shape_and_reward(self):
+    env = VecEnv(num_envs=4, seed=0)
+    obs = env.reset()
+    assert obs.shape == (4, 64, 64, 3)
+    obs, reward, done, info = env.step(np.asarray([0, 1, 2, 3]))
+    assert reward.shape == (4,)
+    assert info['semantic'].shape == (4, 64, 64)
