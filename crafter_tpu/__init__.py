@@ -15,8 +15,16 @@ from . import rules
 _LAZY = {
     'Env': ('crafter_tpu.env', 'Env'),
     'Recorder': ('crafter_tpu.recorder', 'Recorder'),
+    'StatsRecorder': ('crafter_tpu.recorder', 'StatsRecorder'),
+    'VideoRecorder': ('crafter_tpu.recorder', 'VideoRecorder'),
+    'EpisodeRecorder': ('crafter_tpu.recorder', 'EpisodeRecorder'),
+    'VecStatsRecorder': ('crafter_tpu.recorder', 'VecStatsRecorder'),
     'CrafterEnv': ('crafter_tpu.env', 'CrafterEnv'),
     'VecEnv': ('crafter_tpu.env', 'VecEnv'),
+    'GymnasiumEnv': ('crafter_tpu.env', 'GymnasiumEnv'),
+    'register_gym_envs': ('crafter_tpu.env', 'register_gym_envs'),
+    'PPO': ('crafter_tpu.ppo', 'PPO'),
+    'PPOConfig': ('crafter_tpu.ppo', 'PPOConfig'),
 }
 
 

@@ -41,10 +41,13 @@ try:  # Mirror the reference's optional gym dependency (env.py:11-22).
   import gymnasium as _gym
   DiscreteSpace = _gym.spaces.Discrete
   BoxSpace = _gym.spaces.Box
+  _GymBase = _gym.Env
 except ImportError:  # pragma: no cover
   import collections
+  _gym = None
   DiscreteSpace = collections.namedtuple('DiscreteSpace', 'n')
   BoxSpace = collections.namedtuple('BoxSpace', 'low, high, shape, dtype')
+  _GymBase = object
 
 
 class CrafterEnv:
@@ -144,6 +147,57 @@ class Env:
         render_lib.render(self._state, self.cfg, atlas, size))
 
 
+class GymnasiumEnv(_GymBase):
+  """Gymnasium-API adapter (5-tuple step, seeded reset).
+
+  The reference registers `CrafterReward-v1`/`CrafterNoReward-v1` against
+  the old gym API (crafter/__init__.py:4-17); this adapter exposes the same
+  environments through the modern gymnasium contract.
+  """
+
+  metadata = {'render_modes': ['rgb_array']}
+  render_mode = 'rgb_array'
+
+  def __init__(self, reward=True, length=10000, seed=None, **kwargs):
+    self._env = Env(reward=reward, length=length, seed=seed, **kwargs)
+    self.observation_space = self._env.observation_space
+    self.action_space = self._env.action_space
+
+  def reset(self, *, seed=None, options=None):
+    if seed is not None:
+      self._env._seed = seed
+      self._env._episode = 0
+    obs = self._env.reset()
+    return obs, {}
+
+  def step(self, action):
+    obs, reward, done, info = self._env.step(action)
+    terminated = bool(info['discount'] == 0.0)
+    truncated = bool(done and not terminated)
+    return obs, reward, terminated, truncated, info
+
+  def render(self):
+    return self._env.render()
+
+  def close(self):
+    pass
+
+
+def register_gym_envs():
+  """Register CrafterReward-v1 / CrafterNoReward-v1 (reference
+  crafter/__init__.py:4-17) with gymnasium, if available."""
+  try:
+    import gymnasium
+  except ImportError:  # pragma: no cover
+    return
+  for id_, reward in [('CrafterReward-v1', True),
+                      ('CrafterNoReward-v1', False)]:
+    if id_ not in gymnasium.registry:
+      gymnasium.register(
+          id=id_, entry_point='crafter_tpu.env:GymnasiumEnv',
+          max_episode_steps=10000, kwargs={'reward': reward})
+
+
 @struct.dataclass
 class VecState:
   """Batched env state plus per-env reset bookkeeping."""
@@ -151,6 +205,51 @@ class VecState:
   env: State               # every leaf batched along axis 0
   episode: jax.Array       # (N,) int32 episodes started
   home_key: jax.Array      # (N,) per-env base PRNG key
+
+
+def vec_reset(home_key: jax.Array, cfg: EnvConfig):
+  """Fresh batch of worlds from per-env home keys.  Pure/jittable."""
+  n = home_key.shape[0]
+  keys = jax.vmap(jax.random.fold_in)(home_key, jnp.ones((n,), jnp.uint32))
+  env = jax.vmap(lambda k: worldgen.generate_world(k, cfg))(keys)
+  return VecState(env=env, episode=jnp.ones((n,), jnp.int32),
+                  home_key=home_key)
+
+
+def vec_step(vs: VecState, actions: jax.Array, cfg: EnvConfig,
+             reset_batch: int):
+  """Batched tick + partial-batch auto-reset.  Pure/jittable.
+
+  Returns ``(vs, out, stepped_env)``: envs that finished have been replaced
+  in ``vs`` by fresh worlds (up to ``reset_batch`` per call; overflow envs
+  stay terminal and are picked up next call), while ``stepped_env`` is the
+  pre-reset batched state for terminal-step info.  Observations should be
+  rendered by the caller from the post-reset ``vs.env``.
+  """
+  env, out = jax.vmap(lambda s, a: step_lib.step(s, a, cfg))(vs.env, actions)
+  stepped_env = env
+
+  r = reset_batch
+  _, idx = jax.lax.top_k(out.done.astype(jnp.int32), r)  # stable by index
+  sel_done = out.done[idx]
+  ep_sel = vs.episode[idx] + 1
+  keys = jax.vmap(jax.random.fold_in)(vs.home_key[idx],
+                                      ep_sel.astype(jnp.uint32))
+  fresh = jax.vmap(lambda k: worldgen.generate_world(k, cfg))(keys)
+  sub = jax.tree.map(lambda leaf: leaf[idx], env)
+  merged = jax.tree.map(
+      lambda old, new: jnp.where(
+          sel_done.reshape((r,) + (1,) * (old.ndim - 1)), new, old),
+      sub, fresh)
+  env = jax.tree.map(lambda full, m: full.at[idx].set(m), env, merged)
+  episode = vs.episode.at[idx].add(sel_done.astype(jnp.int32))
+  vs = VecState(env=env, episode=episode, home_key=vs.home_key)
+  return vs, out, stepped_env
+
+
+def home_keys(seed: int, num_envs: int) -> jax.Array:
+  return jax.vmap(lambda i: jax.random.fold_in(
+      jax.random.key(seed), i))(jnp.arange(num_envs))
 
 
 class VecEnv:
@@ -170,49 +269,22 @@ class VecEnv:
     self.core = CrafterEnv(cfg)
     self.reset_batch = min(num_envs, reset_batch or max(64, num_envs // 32))
     self._sharding = sharding
-    self._home = jax.vmap(lambda i: jax.random.fold_in(
-        jax.random.key(seed), i))(jnp.arange(num_envs))
+    self._home = home_keys(seed, num_envs)
     self._reset_all = jax.jit(self._reset_all_impl)
     self._step = jax.jit(self._step_impl, donate_argnums=(0,))
     self.state: Optional[VecState] = None
 
   def _reset_all_impl(self, home):
-    keys = jax.vmap(jax.random.fold_in)(home, jnp.ones
-                                        ((self.num_envs,), jnp.uint32))
-    env = jax.vmap(lambda k: worldgen.generate_world(k, self.cfg))(keys)
-    obs = jax.vmap(self.core.observe)(env)
-    vs = VecState(env=env,
-                  episode=jnp.ones((self.num_envs,), jnp.int32),
-                  home_key=home)
-    return vs, obs
+    vs = vec_reset(home, self.cfg)
+    return vs, jax.vmap(self.core.observe)(vs.env)
 
   def _step_impl(self, vs: VecState, actions: jax.Array):
-    env, out = jax.vmap(lambda s, a: step_lib.step(s, a, self.cfg))(
-        vs.env, actions)
-    info = jax.vmap(self.core.info)(env, out)
-
-    # Partial-batch auto-reset: regenerate worlds for up to `reset_batch`
-    # finished envs; the rest of the batch pays nothing.
-    r = self.reset_batch
-    score = out.done.astype(jnp.int32)
-    _, idx = jax.lax.top_k(score, r)          # stable: lowest index first
-    sel_done = out.done[idx]
-    episode = vs.episode + jnp.zeros_like(vs.episode)
-    ep_sel = episode[idx] + 1
-    keys = jax.vmap(jax.random.fold_in)(vs.home_key[idx],
-                                        ep_sel.astype(jnp.uint32))
-    fresh = jax.vmap(lambda k: worldgen.generate_world(k, self.cfg))(keys)
-    sub = jax.tree.map(lambda leaf: leaf[idx], env)
-    merged = jax.tree.map(
-        lambda old, new: jnp.where(
-            sel_done.reshape((r,) + (1,) * (old.ndim - 1)), new, old),
-        sub, fresh)
-    env = jax.tree.map(lambda full, m: full.at[idx].set(m), env, merged)
-    episode = episode.at[idx].add(sel_done.astype(jnp.int32))
-
-    obs = jax.vmap(self.core.observe)(env)
+    # info reflects the terminal step (pre-reset state); obs the post-reset
+    # state (the next episode's first frame), the batched-RL contract.
+    vs, out, stepped = vec_step(vs, actions, self.cfg, self.reset_batch)
+    info = jax.vmap(self.core.info)(stepped, out)
+    obs = jax.vmap(self.core.observe)(vs.env)
     reward = out.reward if self.cfg.reward else jnp.zeros_like(out.reward)
-    vs = VecState(env=env, episode=episode, home_key=vs.home_key)
     return vs, obs, reward, out.done, info
 
   def reset(self):

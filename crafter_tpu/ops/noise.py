@@ -100,35 +100,53 @@ def noise3(points: jax.Array, perm: jax.Array) -> jax.Array:
   Returns values in roughly [-0.87, 0.87] with the original's normalization.
   Float32 on device (the reference runs float64 on CPU; the coarse worldgen
   thresholds make the difference immaterial, see tests).
+
+  The 26 candidate vertices are accumulated in an unrolled loop so every
+  intermediate is (P,)-shaped — one fused elementwise pass on the VPU.
+  (A (P, 26, 3) formulation materializes tens of GB at a 4096-env reset.)
   """
   pts = points.astype(jnp.float32)
   shape = pts.shape[:-1]
   pts = pts.reshape(-1, 3)  # (P, 3)
 
   stretch = pts.sum(-1, keepdims=True) * STRETCH_3D
-  stretched = pts + stretch                      # (P, 3)
-  base = jnp.floor(stretched).astype(jnp.int32)  # (P, 3)
+  # Worldgen evaluates on rational grid points (x/3, y/15, ...) whose
+  # stretched coordinates frequently land *exactly* on lattice boundaries;
+  # there a 1-ulp difference between two XLA compilations (fusion/FMA
+  # choices, e.g. batched vs unbatched) flips `floor` and with it the
+  # gradient hash.  The nudge moves the boundary off that degenerate set so
+  # every compilation agrees; it shifts the sampled field by <1e-4 cells,
+  # far below the worldgen thresholds' sensitivity.
+  base = jnp.floor(pts + stretch + 2 ** -13).astype(jnp.int32)  # (P, 3)
+  px, py, pz = pts[:, 0], pts[:, 1], pts[:, 2]
+  xb, yb, zb = base[:, 0], base[:, 1], base[:, 2]
 
-  verts = base[:, None, :] + CANDIDATES[None, :, :]          # (P, 26, 3)
-  squish = verts.sum(-1, keepdims=True).astype(jnp.float32) * SQUISH_3D
-  d = pts[:, None, :] - (verts.astype(jnp.float32) + squish)  # (P, 26, 3)
-
-  attn = 2.0 - jnp.sum(d * d, axis=-1)                        # (P, 26)
-  attn = jnp.maximum(attn, 0.0)
-  attn2 = attn * attn
-  attn4 = attn2 * attn2
-
-  # Gradient hash: permGradIndex3D[(perm[(perm[x&255]+y)&255]+z)&255] with
-  # permGradIndex3D[i] = (perm[i] % 24) (original stores *3 for flat access).
   perm = perm.astype(jnp.int32)
-  vx, vy, vz = verts[..., 0], verts[..., 1], verts[..., 2]
-  h = perm[vx & 0xFF]
-  h = perm[(h + vy) & 0xFF]
-  h = perm[(h + vz) & 0xFF] % 24
-  grad = jnp.asarray(GRAD3)[h]                                # (P, 26, 3)
+  gx = jnp.asarray(GRAD3[:, 0])
+  gy = jnp.asarray(GRAD3[:, 1])
+  gz = jnp.asarray(GRAD3[:, 2])
 
-  contrib = attn4 * jnp.sum(grad * d, axis=-1)                # (P, 26)
-  return (contrib.sum(-1) / NORM_3D).reshape(shape)
+  def body(total, cand):
+    cx, cy, cz = cand[0], cand[1], cand[2]
+    vx, vy, vz = xb + cx, yb + cy, zb + cz
+    squish = (vx + vy + vz).astype(jnp.float32) * SQUISH_3D
+    dx = px - (vx.astype(jnp.float32) + squish)
+    dy = py - (vy.astype(jnp.float32) + squish)
+    dz = pz - (vz.astype(jnp.float32) + squish)
+    attn = jnp.maximum(2.0 - dx * dx - dy * dy - dz * dz, 0.0)
+    attn2 = attn * attn
+    # Gradient hash: perm[(perm[(perm[x&255]+y)&255]+z)&255] % 24 (the
+    # original's permGradIndex3D stores the same value *3 for flat access).
+    h = perm[(perm[(perm[vx & 0xFF] + vy) & 0xFF] + vz) & 0xFF] % 24
+    return total + attn2 * attn2 * (gx[h] * dx + gy[h] * dy + gz[h] * dz), None
+
+  # lax.scan (not an unrolled Python loop): the hash gathers block
+  # elementwise fusion, so unrolling materializes ~6 P-sized buffers per
+  # candidate — 68 GB at a 4096-env reset.  The scan reuses one iteration's
+  # buffers 26 times, bounding peak memory at a handful of (P,) arrays.
+  total, _ = jax.lax.scan(body, jnp.zeros(pts.shape[:1], jnp.float32),
+                          jnp.asarray(CANDIDATES))
+  return (total / NORM_3D).reshape(shape)
 
 
 def octaved_noise3(xy: jax.Array, z: float, sizes: dict[float, float],
