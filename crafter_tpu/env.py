@@ -207,11 +207,23 @@ class VecState:
   home_key: jax.Array      # (N,) per-env base PRNG key
 
 
-def vec_reset(home_key: jax.Array, cfg: EnvConfig):
-  """Fresh batch of worlds from per-env home keys.  Pure/jittable."""
+def vec_reset(home_key: jax.Array, cfg: EnvConfig, chunk: int = 512):
+  """Fresh batch of worlds from per-env home keys.  Pure/jittable.
+
+  Worldgen evaluates ~53k noise points per env; one fused 4096-env reset
+  peaks at multi-GB intermediates (and trips TPU kernel faults), so large
+  batches generate in `chunk`-sized slices via ``lax.map`` — resets are
+  off the steady-state hot path (see ``vec_step``'s partial resets).
+  """
   n = home_key.shape[0]
   keys = jax.vmap(jax.random.fold_in)(home_key, jnp.ones((n,), jnp.uint32))
-  env = jax.vmap(lambda k: worldgen.generate_world(k, cfg))(keys)
+  gen = jax.vmap(lambda k: worldgen.generate_world(k, cfg))
+  if n <= chunk or n % chunk:
+    env = gen(keys)
+  else:
+    stacked = jax.lax.map(gen, keys.reshape((n // chunk, chunk)))
+    env = jax.tree.map(
+        lambda x: x.reshape((n,) + x.shape[2:]), stacked)
   return VecState(env=env, episode=jnp.ones((n,), jnp.int32),
                   home_key=home_key)
 

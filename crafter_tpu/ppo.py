@@ -66,8 +66,10 @@ class Transition:
   action: jax.Array
   logp: jax.Array
   value: jax.Array
-  reward: jax.Array
+  reward: jax.Array       # training reward (zeroed in the NoReward variant)
   done: jax.Array
+  raw_reward: jax.Array   # info['reward'] — what StatsRecorder accumulates
+  achievements: jax.Array  # (N, 22) terminal-step counters for stats
 
 
 class PPO:
@@ -108,12 +110,15 @@ class PPO:
       action = jax.random.categorical(k_act, out.logits)
       logp = jax.nn.log_softmax(out.logits)[
           jnp.arange(action.shape[0]), action]
-      vec, env_out, _ = vec_step(vec, action, self.env_cfg, cfg.reset_batch)
+      vec, env_out, stepped = vec_step(vec, action, self.env_cfg,
+                                       cfg.reset_batch)
       next_obs = jax.vmap(self.core.observe)(vec.env)
       reward = (env_out.reward if self.env_cfg.reward
                 else jnp.zeros_like(env_out.reward))
       tr = Transition(obs=obs, action=action, logp=logp, value=out.value,
-                      reward=reward, done=env_out.done)
+                      reward=reward, done=env_out.done,
+                      raw_reward=env_out.reward,
+                      achievements=stepped.player.achievements)
       return (vec, next_obs, key), tr
 
     (vec, obs, key), traj = jax.lax.scan(
@@ -158,7 +163,7 @@ class PPO:
     loss = pg + cfg.vf_coef * v_loss - cfg.ent_coef * entropy
     return loss, dict(pg_loss=pg, v_loss=v_loss, entropy=entropy)
 
-  def train_step(self, ts: PPOState) -> Tuple[PPOState, dict]:
+  def _update(self, ts: PPOState):
     """One PPO update: rollout T steps, then E epochs of M minibatches."""
     cfg = self.cfg
     ts, traj, last_value = self._rollout(ts)
@@ -194,7 +199,18 @@ class PPO:
     metrics['episodes_done'] = traj.done.sum()
     ts = ts.replace(params=params, opt_state=opt_state, key=key,
                     update=ts.update + 1)
+    stats = dict(reward=traj.raw_reward, done=traj.done,
+                 achievements=traj.achievements)
+    return ts, metrics, stats
+
+  def train_step(self, ts: PPOState):
+    ts, metrics, _ = self._update(ts)
     return ts, metrics
+
+  def train_step_with_stats(self, ts: PPOState):
+    """Like train_step but also returns per-step (reward, done,
+    achievements) batches for the VecStatsRecorder."""
+    return self._update(ts)
 
 
 def make_sharded_train(env_cfg: EnvConfig, cfg: PPOConfig, mesh):

@@ -21,7 +21,18 @@ KEYMAP_NAMES = {
 }
 
 
+
+def _apply_platform_env():
+  """`JAX_PLATFORMS` is overridden by preinstalled accelerator plugins in
+  some sandboxes; honor it explicitly before any backend initializes."""
+  import os
+  platforms = os.environ.get('JAX_PLATFORMS')
+  if platforms:
+    import jax
+    jax.config.update('jax_platforms', platforms)
+
 def main():
+  _apply_platform_env()
   boolean = lambda x: bool(['False', 'True'].index(x))
   parser = argparse.ArgumentParser()
   parser.add_argument('--seed', type=int, default=None)

@@ -11,7 +11,18 @@ import time
 import numpy as np
 
 
+
+def _apply_platform_env():
+  """`JAX_PLATFORMS` is overridden by preinstalled accelerator plugins in
+  some sandboxes; honor it explicitly before any backend initializes."""
+  import os
+  platforms = os.environ.get('JAX_PLATFORMS')
+  if platforms:
+    import jax
+    jax.config.update('jax_platforms', platforms)
+
 def main():
+  _apply_platform_env()
   parser = argparse.ArgumentParser()
   parser.add_argument('--seed', type=int, default=None)
   parser.add_argument('--area', nargs=2, type=int, default=(64, 64))

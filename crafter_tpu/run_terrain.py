@@ -9,7 +9,18 @@ import argparse
 import numpy as np
 
 
+
+def _apply_platform_env():
+  """`JAX_PLATFORMS` is overridden by preinstalled accelerator plugins in
+  some sandboxes; honor it explicitly before any backend initializes."""
+  import os
+  platforms = os.environ.get('JAX_PLATFORMS')
+  if platforms:
+    import jax
+    jax.config.update('jax_platforms', platforms)
+
 def main():
+  _apply_platform_env()
   parser = argparse.ArgumentParser()
   parser.add_argument('--amount', type=int, default=4)
   parser.add_argument('--cols', type=int, default=4)

@@ -1,0 +1,77 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+Stands in for a real pod slice (SURVEY.md §5: env batch data-parallel over
+`jax.sharding`, stats reduced by XLA collectives, learner gradients
+all-reduced implicitly from the global-mean loss).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from crafter_tpu.config import EnvConfig
+from crafter_tpu.env import home_keys, vec_reset, vec_step
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason='needs 8 virtual devices')
+
+
+def mesh8():
+  return Mesh(np.array(jax.devices()[:8]), ('dp',))
+
+
+class TestShardedEnv:
+  def test_sharded_step_matches_single_device(self):
+    cfg = EnvConfig()
+    n = 16
+    mesh = mesh8()
+    dp = NamedSharding(mesh, P('dp'))
+
+    vs = jax.jit(lambda: vec_reset(home_keys(0, n), cfg))()
+    actions = jnp.tile(jnp.arange(8), 2).astype(jnp.int32)
+    ref, out_ref, _ = jax.jit(
+        lambda v, a: vec_step(v, a, cfg, 4))(vs, actions)
+
+    svs = jax.tree.map(
+        lambda x: jax.device_put(x, dp) if x.ndim and x.shape[0] == n else x,
+        vs)
+    got, out_got, _ = jax.jit(lambda v, a: vec_step(v, a, cfg, 4))(
+        svs, jax.device_put(actions, dp))
+    assert bool(jnp.all(out_ref.reward == out_got.reward))
+    assert bool(jnp.all(ref.env.mat_map == got.env.mat_map))
+    assert bool(jnp.all(ref.env.ent.pos == got.env.ent.pos))
+
+  def test_stats_allreduce_over_mesh(self):
+    # Cross-host stats reduction: a psum over the mesh axis via shard_map.
+    from jax.experimental.shard_map import shard_map
+    mesh = mesh8()
+    cfg = EnvConfig()
+    n = 16
+    vs = jax.jit(lambda: vec_reset(home_keys(0, n), cfg))()
+    hp = jax.device_put(vs.env.player.inventory[:, 0],
+                        NamedSharding(mesh, P('dp')))
+
+    @jax.jit
+    @lambda f: shard_map(f, mesh=mesh, in_specs=P('dp'), out_specs=P())
+    def total_health(local_hp):
+      return jax.lax.psum(local_hp.sum(), 'dp')[None]
+
+    assert int(total_health(hp)[0]) == 9 * n
+
+
+class TestShardedTrain:
+  def test_make_sharded_train_one_update(self):
+    from crafter_tpu.ppo import PPOConfig, make_sharded_train
+    mesh = mesh8()
+    cfg = PPOConfig(num_envs=16, rollout_len=2, epochs=1, minibatches=2,
+                    reset_batch=8)
+    with mesh:
+      ppo, train_step, shard_state = make_sharded_train(
+          EnvConfig(), cfg, mesh)
+      ts = shard_state(ppo.init(jax.random.key(0)))
+      ts, metrics = train_step(ts)
+      jax.block_until_ready(metrics)
+    assert int(ts.update) == 1
+    assert np.isfinite(float(metrics['loss']))
