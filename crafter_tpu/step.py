@@ -583,19 +583,14 @@ def _balance_phase(state: State, key: jax.Array, cfg: EnvConfig):
   vdist = jnp.abs(ent.pos[victim] - ppos).sum(-1)
   despawn_ok = (want_despawn & (best.reshape(nch, 3) >= 0)
                 & (vdist >= jnp.asarray(BAL_DESPAN)[None, :]))
-  victim_slot = jnp.where(despawn_ok, victim, k).reshape(-1)
-  et = ent.etype.at[victim_slot].set(0, mode='drop')
-  vx = jnp.where(despawn_ok.reshape(-1), ent.pos[victim.reshape(-1), 0], w)
-  obj_map = state.obj_map.at[
-      vx, ent.pos[victim.reshape(-1), 1]].set(0, mode='drop')
 
   spawn_req = dict(
       valid=spawn_ok.reshape(-1),                       # (3*nch,)
       pos=sp_pos.reshape(-1, 2),
       etype=jnp.broadcast_to(jnp.asarray(BAL_CLASSES)[:, None],
                              (3, nch)).reshape(-1))
-  state = state.replace(ent=ent.replace(etype=et), obj_map=obj_map)
-  return state, spawn_req
+  despawn = dict(valid=despawn_ok.reshape(-1), slot=victim.reshape(-1))
+  return despawn, spawn_req
 
 
 # ---------------------------------------------------------------------------
@@ -672,14 +667,20 @@ def step(state: State, action: jax.Array,
   state, plant_spawn, plant_pos = _player_phase(state, action, k_player, cfg)
   state, arrow_req = _mob_phase(state, k_mob, cfg, plant_spawn, plant_pos)
 
-  # Chunk balancing on a fixed cadence (env.py:90).  Under vmap the branch
-  # becomes a select; the phase is cheap (a few scatters), so always
-  # computing it costs little.
-  balanced, bal_req = _balance_phase(state, k_balance, cfg)
+  # Chunk balancing on a fixed cadence (env.py:90).  The phase returns
+  # masked deltas (despawn slots + spawn requests) rather than a whole new
+  # state: a full-state select per tick would copy ~25 KB/env/step.
+  despawn, bal_req = _balance_phase(state, k_balance, cfg)
   is_bal = (step_ % cfg.balance_every) == 0
-  state = jax.tree.map(lambda a, b: jnp.where(is_bal, b, a), state, balanced)
-  bal_req = jax.tree.map(lambda x: x if x.dtype != bool else x & is_bal,
-                         bal_req)
+  vslot = jnp.where(is_bal & despawn['valid'], despawn['slot'],
+                    cfg.max_entities)
+  vpos = state.ent.pos[jnp.clip(vslot, 0, cfg.max_entities - 1)]
+  vx = jnp.where(vslot < cfg.max_entities, vpos[:, 0], cfg.area[0])
+  state = state.replace(
+      ent=state.ent.replace(
+          etype=state.ent.etype.at[vslot].set(0, mode='drop')),
+      obj_map=state.obj_map.at[vx, vpos[:, 1]].set(0, mode='drop'))
+  bal_req = dict(bal_req, valid=bal_req['valid'] & is_bal)
 
   state = _spawn_phase(state, cfg, plant_spawn, plant_pos, arrow_req,
                        bal_req)
