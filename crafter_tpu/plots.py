@@ -1,0 +1,223 @@
+"""Plot and table generation for Crafter scores.
+
+Host-side, format-compatible equivalents of the reference's analysis
+scripts (reference: analysis/plot_scores.py, plot_spectrum.py,
+plot_counts.py, plot_reward.py, print_scores.py, print_spectrum.py,
+print_reward.py), driven from score JSONs produced by
+``crafter_tpu.analysis.read_stats``.
+
+CLI: ``python -m crafter_tpu.plots scores|spectrum|reward|counts|tables
+--inpaths a.json b.json --outpath plot.png``
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+
+import numpy as np
+
+from . import analysis
+
+COLORS = ('#377eb8', '#5fc35d', '#984ea3', '#bf3217', '#de9f42', '#6a554d',
+          '#a65628', '#f781bf', '#888888', '#a6cee3', '#b2df8a', '#cab2d6',
+          '#fb9a99', '#fdbf6f')
+
+
+def _legend(runs, legend=None):
+  if legend:
+    return legend
+  methods = sorted(set(run['method'] for run in runs))
+  return {x: x.replace('_', ' ').title() for x in methods}
+
+
+def plot_scores(inpaths, outpath, legend=None, colors=COLORS, budget=1e6,
+                ylim=None):
+  """Score bar chart (plot_scores.py:9-46)."""
+  import matplotlib.pyplot as plt
+  runs = analysis.load_runs(inpaths, budget)
+  percents, methods, _, _ = analysis.compute_success_rates(runs, budget)
+  scores = analysis.compute_scores(percents)
+  legend = dict(reversed(_legend(runs, legend).items()))
+  scores = scores[np.array([methods.index(m) for m in legend])]
+  mean, std = np.nanmean(scores, -1), np.nanstd(scores, -1)
+
+  fig, ax = plt.subplots(figsize=(4, 3))
+  centers = np.arange(len(legend))
+  colors = list(reversed(list(colors)[:len(legend)]))
+  ax.bar(centers, mean, yerr=std, color=colors,
+         error_kw=dict(capsize=5, c='#000'))
+  for side in ('top', 'right', 'bottom'):
+    ax.spines[side].set_visible(False)
+  ax.set_xticks(centers)
+  ax.set_xticklabels(list(legend.values()), rotation=45, ha='right',
+                     rotation_mode='anchor')
+  ax.set_ylabel('Crafter Score (%)')
+  if ylim:
+    ax.set_ylim(0, ylim)
+  fig.tight_layout()
+  pathlib.Path(outpath).parent.mkdir(exist_ok=True, parents=True)
+  fig.savefig(outpath)
+  return outpath
+
+
+def plot_spectrum(inpaths, outpath, legend=None, colors=COLORS, budget=1e6,
+                  sort=False):
+  """Per-achievement log-scale success rates (plot_spectrum.py:9-48)."""
+  import matplotlib.pyplot as plt
+  runs = analysis.load_runs(inpaths, budget)
+  legend = _legend(runs, legend)
+  # The reference passes `sort and key` here, and `False` *is* an int to
+  # isinstance, accidentally sorting by method 0 (plot_spectrum.py:11-12);
+  # pass None explicitly instead.
+  percents, methods, _, tasks = analysis.compute_success_rates(
+      runs, budget, sortby=list(legend.keys())[0] if sort else None)
+
+  fig, ax = plt.subplots(figsize=(7, 3))
+  centers = np.arange(len(tasks))
+  width = 0.7
+  for index, (method, label) in enumerate(legend.items()):
+    heights = np.nanmean(percents[methods.index(method)], 0)
+    pos = centers + width * (0.5 / len(methods) + index / len(methods) - 0.5)
+    ax.bar(pos, heights, width / len(legend), label=label,
+           color=colors[index % len(colors)])
+  names = [x[len('achievement_'):].replace('_', ' ').title() for x in tasks]
+  for side in ('top', 'right', 'bottom'):
+    ax.spines[side].set_visible(False)
+  ax.set_xticks(centers)
+  ax.set_xticklabels(names, rotation=45, ha='right', rotation_mode='anchor')
+  ax.set_ylabel('Success Rate (%)')
+  ax.set_yscale('log')
+  ax.set_ylim(0.01, 100)
+  ax.set_yticks([0.01, 0.1, 1, 10, 100])
+  ax.set_yticklabels('0.01 0.1 1 10 100'.split())
+  fig.tight_layout(rect=(0, 0, 1, 0.95))
+  fig.legend(loc='upper center', ncol=10, frameon=False, borderpad=0,
+             borderaxespad=0)
+  pathlib.Path(outpath).parent.mkdir(exist_ok=True, parents=True)
+  fig.savefig(outpath)
+  return outpath
+
+
+def plot_reward(inpaths, outpath, legend=None, colors=COLORS, budget=1e6,
+                cols=1):
+  """Reward training curves with the optimal-22 line
+  (plot_reward.py:10-54)."""
+  import matplotlib.pyplot as plt
+  runs = analysis.load_runs(inpaths, budget)
+  legend = _legend(runs, legend)
+  fig, ax = plt.subplots(figsize=(4, 3))
+  ax.axhline(22, c='#888888', ls='--', lw=1)  # optimal = 22 achievements
+  borders = np.arange(0, budget, 1e4)
+  for index, (method, label) in enumerate(legend.items()):
+    relevant = [run for run in runs if run['method'] == method]
+    if not relevant:
+      continue
+    curves = []
+    for run in relevant:
+      xs, ys = analysis.binning(run['xs'], run['reward'], borders,
+                                fill='last')
+      curves.append(ys)
+    mean = np.nanmean(curves, 0)
+    std = np.nanstd(curves, 0)
+    color = colors[index % len(colors)]
+    ax.plot(borders[1:], mean, label=label, color=color)
+    ax.fill_between(borders[1:], mean - std, mean + std, alpha=0.15,
+                    color=color, lw=0)
+  ax.set_xlabel('Environment Steps')
+  ax.set_ylabel('Episode Reward')
+  ax.legend(frameon=False)
+  fig.tight_layout()
+  pathlib.Path(outpath).parent.mkdir(exist_ok=True, parents=True)
+  fig.savefig(outpath)
+  return outpath
+
+
+def plot_counts(inpaths, outpath, legend=None, colors=COLORS, budget=1e6):
+  """Per-achievement success-rate training curves (plot_counts.py:10-43)."""
+  import matplotlib.pyplot as plt
+  runs = analysis.load_runs(inpaths, budget)
+  legend = _legend(runs, legend)
+  tasks = sorted(key for key in runs[0] if key.startswith('achievement_'))
+  rows = int(np.ceil(len(tasks) / 4))
+  fig, axes = plt.subplots(rows, 4, figsize=(14, 2.2 * rows), sharex=True)
+  borders = np.arange(0, budget, 1e4)
+  for t, (task, ax) in enumerate(zip(tasks, axes.flatten())):
+    ax.set_title(task[len('achievement_'):].replace('_', ' ').title())
+    for index, (method, label) in enumerate(legend.items()):
+      relevant = [run for run in runs if run['method'] == method]
+      curves = []
+      for run in relevant:
+        xs, ys = analysis.binning(
+            run['xs'], 100 * (np.array(run[task]) >= 1), borders,
+            fill='last')
+        curves.append(ys)
+      if curves:
+        ax.plot(borders[1:], np.nanmean(curves, 0), label=label,
+                color=colors[index % len(colors)])
+  axes.flatten()[0].legend(frameon=False, fontsize=8)
+  fig.tight_layout()
+  pathlib.Path(outpath).parent.mkdir(exist_ok=True, parents=True)
+  fig.savefig(outpath)
+  return outpath
+
+
+def print_scores(inpaths, legend=None, budget=1e6):
+  """Score table (print_scores.py:6-24)."""
+  runs = analysis.load_runs(inpaths, budget)
+  legend = _legend(runs, legend)
+  percents, methods, _, _ = analysis.compute_success_rates(runs, budget)
+  scores = analysis.compute_scores(percents)
+  lines = []
+  for method, label in legend.items():
+    s = scores[methods.index(method)]
+    lines.append(f'{label:<20} {np.nanmean(s):6.1f} ± {np.nanstd(s):.1f}%')
+  out = '\n'.join(lines)
+  print(out)
+  return out
+
+
+def print_spectrum(inpaths, legend=None, budget=1e6, sort=False):
+  """Per-achievement table (print_spectrum.py:8-61)."""
+  runs = analysis.load_runs(inpaths, budget)
+  legend = _legend(runs, legend)
+  percents, methods, _, tasks = analysis.compute_success_rates(
+      runs, budget, sortby=list(legend.keys())[0] if sort else None)
+  lines = [' ' * 26 + '  '.join(f'{label:>12}'
+                                for label in legend.values())]
+  for k, task in enumerate(tasks):
+    name = task[len('achievement_'):].replace('_', ' ').title()
+    row = [f'{np.nanmean(percents[methods.index(m), :, k]):11.1f}%'
+           for m in legend]
+    lines.append(f'{name:<26}' + '  '.join(f'{v:>12}' for v in row))
+  out = '\n'.join(lines)
+  print(out)
+  return out
+
+
+def main():
+  parser = argparse.ArgumentParser()
+  parser.add_argument('kind', choices=[
+      'scores', 'spectrum', 'reward', 'counts', 'tables'])
+  parser.add_argument('--inpaths', nargs='+', required=True)
+  parser.add_argument('--outpath', type=str, default='plot.png')
+  parser.add_argument('--budget', type=float, default=1e6)
+  args = parser.parse_args()
+  if args.kind == 'scores':
+    plot_scores(args.inpaths, args.outpath, budget=args.budget)
+  elif args.kind == 'spectrum':
+    plot_spectrum(args.inpaths, args.outpath, budget=args.budget)
+  elif args.kind == 'reward':
+    plot_reward(args.inpaths, args.outpath, budget=args.budget)
+  elif args.kind == 'counts':
+    plot_counts(args.inpaths, args.outpath, budget=args.budget)
+  else:
+    print_scores(args.inpaths, budget=args.budget)
+    print()
+    print_spectrum(args.inpaths, budget=args.budget)
+  if args.kind != 'tables':
+    print('Saved', args.outpath)
+
+
+if __name__ == '__main__':
+  main()

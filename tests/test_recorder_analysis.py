@@ -125,3 +125,22 @@ class TestScorePipeline:
     borders, binned = analysis.binning(xs, ys, np.array([0, 5, 20]))
     assert binned[0] == pytest.approx(2.0)
     assert binned[1] == pytest.approx(10.5)
+
+
+class TestPlots:
+  @pytest.mark.skipif(not REF_SCORES.exists(), reason='no reference scores')
+  def test_print_scores_table(self):
+    from crafter_tpu import plots
+    out = plots.print_scores(
+        [REF_SCORES / 'crafter_noreward-random.json',
+         REF_SCORES / 'crafter_reward-human.json'])
+    assert '1.6' in out and '50.5' in out
+
+  @pytest.mark.skipif(not REF_SCORES.exists(), reason='no reference scores')
+  def test_plot_scores_writes_png(self, tmp_path):
+    import matplotlib
+    matplotlib.use('Agg')
+    from crafter_tpu import plots
+    out = plots.plot_scores(
+        [REF_SCORES / 'crafter_reward-human.json'], tmp_path / 's.png')
+    assert (tmp_path / 's.png').exists()
