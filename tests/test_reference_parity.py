@@ -1,0 +1,151 @@
+"""Live behavioral parity against the *actual* reference engine.
+
+tests/refshim lets /root/reference/crafter import inside this sandbox (its
+opensimplex + ruamel.yaml deps shimmed with numpy/pyyaml equivalents), so
+these tests run both engines side by side.  RNG streams differ by design
+(threefry vs one shared MT19937; SURVEY.md §7), so parity is asserted on
+*distributions* — material frequencies, mob populations, deaths, early
+achievements — not bitwise trajectories.
+"""
+
+import pathlib
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent))
+import refshim
+
+HAVE_REF = refshim.install()
+pytestmark = pytest.mark.skipif(not HAVE_REF, reason='no reference checkout')
+
+N_WORLDS = 12
+HORIZON = 100
+
+
+@pytest.fixture(scope='module')
+def ref_worlds():
+  import crafter
+  worlds = []
+  for seed in range(N_WORLDS):
+    env = crafter.Env(seed=seed)
+    env.reset()
+    sem = env._sem_view()
+    worlds.append(sem)
+  return np.stack(worlds)  # (N, 64, 64) material ids 1..12, entities 13+
+
+
+@pytest.fixture(scope='module')
+def tpu_worlds():
+  import jax
+  from crafter_tpu import state as state_lib, worldgen
+  from crafter_tpu.config import EnvConfig
+  cfg = EnvConfig()
+  keys = jax.random.split(jax.random.key(0), N_WORLDS)
+  batch = jax.jit(jax.vmap(lambda k: worldgen.generate_world(k, cfg)))(keys)
+  sems = jax.jit(jax.vmap(lambda s: state_lib.semantic_view(s, cfg)))(batch)
+  return np.asarray(sems)
+
+
+class TestWorldgenDistribution:
+  """Material and mob frequencies must match across engines."""
+
+  def test_material_frequencies(self, ref_worlds, tpu_worlds):
+    from crafter_tpu import rules
+    for mid, name in [(rules.MAT_GRASS, 'grass'), (rules.MAT_WATER, 'water'),
+                      (rules.MAT_STONE, 'stone'), (rules.MAT_TREE, 'tree'),
+                      (rules.MAT_SAND, 'sand'), (rules.MAT_PATH, 'path')]:
+      ref = (ref_worlds == mid).mean()
+      got = (tpu_worlds == mid).mean()
+      # Averaged over N_WORLDS*4096 cells; sigma of the mean is small but
+      # worlds are spatially correlated — allow a generous band.
+      assert abs(ref - got) < max(0.25 * ref, 0.01), (name, ref, got)
+
+  def test_rare_materials_present(self, ref_worlds, tpu_worlds):
+    from crafter_tpu import rules
+    for mid in (rules.MAT_COAL, rules.MAT_IRON, rules.MAT_DIAMOND,
+                rules.MAT_LAVA):
+      ref = (ref_worlds == mid).sum() / N_WORLDS
+      got = (tpu_worlds == mid).sum() / N_WORLDS
+      assert got > 0.3 * ref and got < 3 * ref + 5, (mid, ref, got)
+
+  def test_mob_populations(self, ref_worlds, tpu_worlds):
+    # Semantic ids: materials end at 12; entity ids are 13+type order
+    # [player, cow, zombie, skeleton, ...] (env.py:47-49).
+    for off, name, tol in [(1, 'cow', 0.5), (2, 'zombie', 0.5),
+                           (3, 'skeleton', 0.6)]:
+      ref = (ref_worlds == 12 + off + 1).sum() / N_WORLDS
+      got = (tpu_worlds == 12 + off + 1).sum() / N_WORLDS
+      assert abs(got - ref) <= max(tol * ref, 3), (name, ref, got)
+
+
+class TestRandomPolicyDynamics:
+  """Short-horizon dynamics under the same random policy distribution."""
+
+  @pytest.fixture(scope='class')
+  def ref_stats(self):
+    import crafter
+    lengths, deaths, wood, sapling, hp = [], 0, 0, 0, []
+    n = 10
+    for seed in range(n):
+      env = crafter.Env(seed=seed)
+      env.reset()
+      rng = np.random.RandomState(seed)
+      for t in range(HORIZON):
+        _, _, done, info = env.step(rng.randint(17))
+        if done:
+          deaths += 1
+          break
+      lengths.append(t + 1)
+      wood += int(info['achievements']['collect_wood'] > 0)
+      sapling += int(info['achievements']['collect_sapling'] > 0)
+      hp.append(info['inventory']['health'])
+    return dict(n=n, deaths=deaths, wood=wood, sapling=sapling,
+                mean_hp=np.mean(hp))
+
+  @pytest.fixture(scope='class')
+  def tpu_stats(self):
+    import jax
+    import jax.numpy as jnp
+    from crafter_tpu.config import EnvConfig
+    from crafter_tpu.env import home_keys, vec_reset
+    from crafter_tpu import step as step_lib, rules
+    cfg = EnvConfig()
+    n = 16
+    vs = jax.jit(lambda: vec_reset(home_keys(7, n), cfg))()
+
+    @jax.jit
+    def run(env_state, key):
+      def body(carry, _):
+        st, key, dead = carry
+        key, k = jax.random.split(key)
+        a = jax.random.randint(k, (n,), 0, 17)
+        st, out = jax.vmap(lambda s, a_: step_lib.step(s, a_, cfg))(st, a)
+        return (st, key, dead | out.dead), None
+      (st, _, dead), _ = jax.lax.scan(
+          body, (env_state, key, jnp.zeros((n,), bool)), None,
+          length=HORIZON)
+      return st, dead
+
+    st, dead = run(vs.env, jax.random.key(0))
+    ach = np.asarray(st.player.achievements)
+    return dict(
+        n=n, deaths=int(np.asarray(dead).sum()),
+        wood=int((ach[:, rules.ACH_ID['collect_wood']] > 0).sum()),
+        sapling=int((ach[:, rules.ACH_ID['collect_sapling']] > 0).sum()),
+        mean_hp=float(np.asarray(st.player.inventory)[:, 0].mean()))
+
+  def test_death_rate(self, ref_stats, tpu_stats):
+    ref = ref_stats['deaths'] / ref_stats['n']
+    got = tpu_stats['deaths'] / tpu_stats['n']
+    assert abs(ref - got) <= 0.4, (ref, got)
+
+  def test_early_achievement_rates(self, ref_stats, tpu_stats):
+    for key in ('wood', 'sapling'):
+      ref = ref_stats[key] / ref_stats['n']
+      got = tpu_stats[key] / tpu_stats['n']
+      assert abs(ref - got) <= 0.45, (key, ref, got)
+
+  def test_health_distribution(self, ref_stats, tpu_stats):
+    assert abs(ref_stats['mean_hp'] - tpu_stats['mean_hp']) <= 3.0
