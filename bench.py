@@ -1,35 +1,52 @@
 """Benchmark: env-steps/s of the batched engine on the local accelerator.
 
-Prints ONE JSON line: the headline metric is env-steps/s at 4096 batched
-envs for the state-only NoReward loop (BASELINE.json config 2), with the
-full pixel pipeline (config 3) reported alongside on stderr.
-``vs_baseline`` is measured throughput over the north-star target of
-1M env-steps/s/chip (the reference publishes no throughput; its harness is
-crafter/run_random.py:28-43).
+Prints ONE JSON line: env-steps/s for the state-only NoReward engine loop
+(BASELINE.json config 2) at the largest batch size that runs cleanly
+(preferring 4096), with the full pixel pipeline (config 3) reported on
+stderr.  ``vs_baseline`` is measured throughput over the north-star target
+of 1M env-steps/s/chip (the reference publishes no throughput; its harness
+is crafter/run_random.py:28-43).
 
 The loop includes everything a training run pays: action sampling, the
 simulation tick, chunk balancing, and partial-batch auto-reset worldgen.
+
+Robustness: this sandbox reaches its TPU through a tunnel whose device
+contexts fault stochastically (and a fault poisons the whole process), so
+each measurement runs in a subprocess (`--single`), the orchestrator
+retries with recovery pauses, timing is scan-based (one dispatch per
+measurement — the tunnel adds ~1s per dispatch), and every measurement is
+validated by checking that env step counters actually advanced.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
+CACHE_DIR = '/tmp/jax_compile_cache'
 
 
-def bench_engine(num_envs=4096, scan_len=100, repeats=5, render=False,
+def _setup_jax():
+  import jax
+  try:
+    jax.config.update('jax_compilation_cache_dir', CACHE_DIR)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+  except Exception:
+    pass
+  return jax
+
+
+def bench_engine(num_envs, scan_len, repeats=3, render=False,
                  reset_batch=128):
+  jax = _setup_jax()
+  import jax.numpy as jnp
   from crafter_tpu.config import EnvConfig
-  from crafter_tpu.env import CrafterEnv, home_keys, vec_reset, vec_step
+  from crafter_tpu.env import (CrafterEnv, home_keys, vec_reset_chunked,
+                               vec_step)
 
   cfg = EnvConfig(reward=False)
   core = CrafterEnv(cfg) if render else None
-
-  @jax.jit
-  def init(seed):
-    return vec_reset(home_keys(seed, num_envs), cfg)
 
   @jax.jit
   def loop(vs, key):
@@ -46,37 +63,92 @@ def bench_engine(num_envs=4096, scan_len=100, repeats=5, render=False,
     (vs, key), dones = jax.lax.scan(body, (vs, key), None, length=scan_len)
     return vs, dones.sum()
 
-  vs = jax.block_until_ready(init(0))
+  vs = vec_reset_chunked(home_keys(0, num_envs), cfg)
+  jax.block_until_ready(vs)
   vs, _ = loop(vs, jax.random.key(0))  # compile + warmup
   jax.block_until_ready(vs)
 
   best = 0.0
   for r in range(repeats):
     t0 = time.perf_counter()
-    vs, dones = loop(vs, jax.random.key(r + 1))
-    jax.block_until_ready(dones)
+    vs2, dones = loop(vs, jax.random.key(r + 1))
+    jax.block_until_ready((vs2, dones))
     dt = time.perf_counter() - t0
+    # Distrust a wedged device: the step counters must have advanced.
+    advanced = float(jnp.mean(vs2.env.step - vs.env.step))
+    if not (0 < advanced <= scan_len):
+      raise RuntimeError(f'state did not advance ({advanced})')
     best = max(best, num_envs * scan_len / dt)
+    vs = vs2
   return best
 
 
-def main():
-  num_envs = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
-  scan_len = int(sys.argv[2]) if len(sys.argv) > 2 else 100
-  state_sps = bench_engine(num_envs, scan_len, render=False)
-  print(f'device={jax.devices()[0].platform} envs={num_envs} '
-        f'state-only={state_sps:,.0f} steps/s', file=sys.stderr)
-  try:
-    pixel_sps = bench_engine(num_envs, max(scan_len // 4, 10), render=True)
-    print(f'pixel={pixel_sps:,.0f} steps/s', file=sys.stderr)
-  except Exception as e:  # keep the headline even if the pixel pass fails
-    print(f'pixel bench failed: {e}', file=sys.stderr)
+def single(num_envs, scan_len, render):
+  sps = bench_engine(num_envs, scan_len, render=render)
+  print(json.dumps({'ok': True, 'sps': sps}))
+
+
+def orchestrate(sizes, scan_len, budget_s=3000):
+  deadline = time.time() + budget_s
+  env = dict(os.environ)
+
+  def attempt(n, t, render):
+    try:
+      out = subprocess.run(
+          [sys.executable, __file__, '--single', str(n), str(t),
+           str(int(render))],
+          capture_output=True, text=True, timeout=900, env=env)
+      for line in out.stdout.splitlines():
+        try:
+          rec = json.loads(line)
+          if rec.get('ok'):
+            return rec['sps']
+        except json.JSONDecodeError:
+          continue
+      err = (out.stderr or '').strip().splitlines()
+      print(f'attempt N={n} failed: {err[-1] if err else "no output"}',
+            file=sys.stderr)
+    except subprocess.TimeoutExpired:
+      print(f'attempt N={n} timed out', file=sys.stderr)
+    return None
+
+  state_sps, used = None, None
+  for n in sizes:
+    for retry in range(2):
+      if time.time() > deadline:
+        break
+      sps = attempt(n, scan_len, render=False)
+      if sps:
+        state_sps, used = sps, n
+        break
+      time.sleep(60 * (retry + 1))  # let a faulted tunnel recover
+    if state_sps:
+      break
+
+  if state_sps is None:
+    print(json.dumps({'metric': 'env-steps/s (bench failed)', 'value': 0,
+                      'unit': 'env-steps/s', 'vs_baseline': 0}))
+    return
+  print(f'envs={used} state-only={state_sps:,.0f} steps/s', file=sys.stderr)
+  if time.time() < deadline:
+    pixel = attempt(used, max(scan_len // 4, 10), render=True)
+    if pixel:
+      print(f'pixel={pixel:,.0f} steps/s', file=sys.stderr)
   print(json.dumps({
-      'metric': f'env-steps/s @ {num_envs} envs (state-only engine loop)',
+      'metric': f'env-steps/s @ {used} envs (state-only engine loop)',
       'value': round(state_sps),
       'unit': 'env-steps/s',
       'vs_baseline': round(state_sps / 1_000_000, 4),
   }))
+
+
+def main():
+  if len(sys.argv) > 1 and sys.argv[1] == '--single':
+    single(int(sys.argv[2]), int(sys.argv[3]), bool(int(sys.argv[4])))
+    return
+  sizes = [int(sys.argv[1])] if len(sys.argv) > 1 else [4096, 2048, 1024]
+  scan_len = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+  orchestrate(sizes, scan_len)
 
 
 if __name__ == '__main__':

@@ -207,25 +207,37 @@ class VecState:
   home_key: jax.Array      # (N,) per-env base PRNG key
 
 
-def vec_reset(home_key: jax.Array, cfg: EnvConfig, chunk: int = 512):
+def vec_reset(home_key: jax.Array, cfg: EnvConfig):
   """Fresh batch of worlds from per-env home keys.  Pure/jittable.
 
-  Worldgen evaluates ~53k noise points per env; one fused 4096-env reset
-  peaks at multi-GB intermediates (and trips TPU kernel faults), so large
-  batches generate in `chunk`-sized slices via ``lax.map`` — resets are
-  off the steady-state hot path (see ``vec_step``'s partial resets).
+  Worldgen evaluates ~53k noise points per env, so keep traced batches
+  moderate (it is only on the hot path via ``vec_step``'s small partial
+  resets); for thousands of envs use :func:`vec_reset_chunked`, which
+  dispatches device-sized slices from the host.
   """
   n = home_key.shape[0]
   keys = jax.vmap(jax.random.fold_in)(home_key, jnp.ones((n,), jnp.uint32))
-  gen = jax.vmap(lambda k: worldgen.generate_world(k, cfg))
-  if n <= chunk or n % chunk:
-    env = gen(keys)
-  else:
-    stacked = jax.lax.map(gen, keys.reshape((n // chunk, chunk)))
-    env = jax.tree.map(
-        lambda x: x.reshape((n,) + x.shape[2:]), stacked)
+  env = jax.vmap(lambda k: worldgen.generate_world(k, cfg))(keys)
   return VecState(env=env, episode=jnp.ones((n,), jnp.int32),
                   home_key=home_key)
+
+
+def vec_reset_chunked(home_key: jax.Array, cfg: EnvConfig,
+                      chunk: int = 512) -> VecState:
+  """Host-chunked initial reset for large batches.
+
+  A single fused multi-thousand-env worldgen peaks at multi-GB
+  intermediates on device; generating `chunk` envs per dispatch and
+  concatenating bounds peak memory at chunk-size while only paying a few
+  dispatches once per run (partial resets keep the steady state on
+  device).
+  """
+  n = home_key.shape[0]
+  if n <= chunk:
+    return jax.jit(vec_reset, static_argnums=1)(home_key, cfg)
+  reset = jax.jit(vec_reset, static_argnums=1)
+  pieces = [reset(home_key[i:i + chunk], cfg) for i in range(0, n, chunk)]
+  return jax.tree.map(lambda *xs: jnp.concatenate(xs), *pieces)
 
 
 def vec_step(vs: VecState, actions: jax.Array, cfg: EnvConfig,
@@ -282,13 +294,13 @@ class VecEnv:
     self.reset_batch = min(num_envs, reset_batch or max(64, num_envs // 32))
     self._sharding = sharding
     self._home = home_keys(seed, num_envs)
-    self._reset_all = jax.jit(self._reset_all_impl)
+    self._observe = jax.jit(jax.vmap(self.core.observe))
     self._step = jax.jit(self._step_impl, donate_argnums=(0,))
     self.state: Optional[VecState] = None
 
-  def _reset_all_impl(self, home):
-    vs = vec_reset(home, self.cfg)
-    return vs, jax.vmap(self.core.observe)(vs.env)
+  def _reset_all(self, home):
+    vs = vec_reset_chunked(home, self.cfg)
+    return vs, self._observe(vs.env)
 
   def _step_impl(self, vs: VecState, actions: jax.Array):
     # info reflects the terminal step (pre-reset state); obs the post-reset

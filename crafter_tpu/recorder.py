@@ -106,8 +106,12 @@ class VideoRecorder:
     self._frames.append(self._env.render(self._size))
     if done:
       import imageio
-      filename = str(self._directory / (self._env.episode_name + '.mp4'))
-      imageio.mimsave(filename, self._frames)
+      try:
+        filename = str(self._directory / (self._env.episode_name + '.mp4'))
+        imageio.mimsave(filename, self._frames)
+      except Exception:  # mp4 needs imageio-ffmpeg; gif is always available
+        filename = str(self._directory / (self._env.episode_name + '.gif'))
+        imageio.mimsave(filename, self._frames)
     return obs, reward, done, info
 
 

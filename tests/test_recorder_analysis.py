@@ -144,3 +144,39 @@ class TestPlots:
     out = plots.plot_scores(
         [REF_SCORES / 'crafter_reward-human.json'], tmp_path / 's.png')
     assert (tmp_path / 's.png').exists()
+
+
+class TestEpisodeRecorder:
+  def test_npz_contents(self, tmp_path):
+    from crafter_tpu.recorder import EpisodeRecorder
+    env = EpisodeRecorder(FakeEnv(), tmp_path)
+    env.reset()
+    done = False
+    while not done:
+      _, _, done, _ = env.step(2)
+    files = list(tmp_path.glob('*.npz'))
+    assert len(files) == 1
+    # Name schema {ts}-ach{N}-len{L} (recorder.py:183-185).
+    assert '-ach1-len3' in files[0].name
+    ep = np.load(files[0])
+    assert ep['image'].shape == (4, 64, 64, 3)  # reset frame + 3 steps
+    assert ep['action'].tolist() == [0, 2, 2, 2]  # zero-filled first step
+    assert ep['done'].tolist() == [False, False, False, True]
+    assert ep['achievement_collect_wood'].tolist() == [0, 0, 1, 1]
+    assert ep['ainventory_wood'].shape == (4,)
+    assert ep['reward'].tolist() == [0.0, 0.0, 1.0, 0.0]
+
+  def test_video_recorder_writes_file(self, tmp_path):
+    from crafter_tpu.recorder import VideoRecorder
+
+    class RenderEnv(FakeEnv):
+      def render(self, size):
+        return np.zeros(tuple(size) + (3,), np.uint8)
+
+    env = VideoRecorder(RenderEnv(), tmp_path, size=(64, 64))
+    env.reset()
+    done = False
+    while not done:
+      _, _, done, _ = env.step(0)
+    files = list(tmp_path.glob('*.mp4')) + list(tmp_path.glob('*.gif'))
+    assert len(files) == 1
