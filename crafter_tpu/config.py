@@ -31,6 +31,10 @@ class EnvConfig:
   chunk_size: Tuple[int, int] = (12, 12)  # env.py:40
   day_length: int = 300                # daylight period (env.py:135-139)
   balance_every: int = 10              # chunk-balance cadence (env.py:90)
+  # Worldgen noise gradient hash: 'fast' = arithmetic mix (pure VPU, no
+  # table gathers — the TPU default), 'compat' = the original OpenSimplex
+  # 256-entry permutation table (ops/noise.py).  Distribution-equivalent.
+  noise_mode: str = 'fast'
 
   @property
   def item_rows(self) -> int:

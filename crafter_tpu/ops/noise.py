@@ -149,6 +149,63 @@ def noise3(points: jax.Array, perm: jax.Array) -> jax.Array:
   return (total / NORM_3D).reshape(shape)
 
 
+@functools.partial(jax.jit, static_argnames=())
+def noise3_fast(points: jax.Array, seed: jax.Array) -> jax.Array:
+  """OpenSimplex-structured noise with an arithmetic gradient hash.
+
+  Same lattice, attenuation, gradients, and normalization as :func:`noise3`
+  but the per-vertex gradient is picked by integer mixing instead of the
+  three chained 256-entry permutation-table gathers.  On TPU the table
+  gathers dominate the whole worldgen (26 candidates × 3 dependent gathers
+  per point ≈ billions of serial gathered elements per batched reset);
+  this variant is pure VPU arithmetic.
+
+  The original hash is `perm[(perm[(perm[x&255]+y)&255]+z)&255] % 24` — an
+  (almost) uniform pick of one of 24 gradients per lattice vertex with a
+  256-periodic tile.  The arithmetic mix picks uniformly from the same 24
+  gradients without the 256-tile, so the produced field is
+  distribution-equivalent (validated against the live reference engine in
+  tests/test_reference_parity.py).  `seed` is any int32 array/scalar.
+  """
+  pts = points.astype(jnp.float32)
+  shape = pts.shape[:-1]
+  pts = pts.reshape(-1, 3)
+
+  stretch = pts.sum(-1, keepdims=True) * STRETCH_3D
+  base = jnp.floor(pts + stretch + 2 ** -13).astype(jnp.int32)
+  px, py, pz = pts[:, 0], pts[:, 1], pts[:, 2]
+  xb, yb, zb = base[:, 0], base[:, 1], base[:, 2]
+  seed = jnp.asarray(seed, jnp.int32)
+
+  total = jnp.zeros(pts.shape[:1], jnp.float32)
+  for cx, cy, cz in CANDIDATES.tolist():
+    vx, vy, vz = xb + cx, yb + cy, zb + cz
+    squish = (vx + vy + vz).astype(jnp.float32) * SQUISH_3D
+    dx = px - (vx.astype(jnp.float32) + squish)
+    dy = py - (vy.astype(jnp.float32) + squish)
+    dz = pz - (vz.astype(jnp.float32) + squish)
+    attn = jnp.maximum(2.0 - dx * dx - dy * dy - dz * dz, 0.0)
+    attn2 = attn * attn
+    # xxhash-style avalanche over (vertex, seed) -> gradient id in [0, 24).
+    h = (vx * jnp.int32(-1918454973) ^ vy * jnp.int32(-668077119)
+         ^ vz * jnp.int32(-888626401) ^ seed)
+    h = h * jnp.int32(0x27d4eb2f)
+    h = h ^ (h >> 15)
+    h = (h & 0x7FFFFFFF) % 24
+    # The 24 gradients are (+-11, +-4, +-4) with the 11 on `axis`
+    # (GRAD3's structure): decode arithmetically instead of gathering.
+    axis = h // 8
+    bits = h % 8
+    s0 = 1 - 2 * (bits & 1)
+    s1 = 1 - 2 * ((bits >> 1) & 1)
+    s2 = 1 - 2 * ((bits >> 2) & 1)
+    gx = jnp.where(axis == 0, 11, 4) * s0
+    gy = jnp.where(axis == 1, 11, 4) * s1
+    gz = jnp.where(axis == 2, 11, 4) * s2
+    total += attn2 * attn2 * (gx * dx + gy * dy + gz * dz)
+  return (total / NORM_3D).reshape(shape)
+
+
 def octaved_noise3(xy: jax.Array, z: float, sizes: dict[float, float],
                    perm: jax.Array, normalize: bool = True) -> jax.Array:
   """The reference's `_simplex` octave helper (worldgen.py:79-91).

@@ -27,11 +27,14 @@ from .config import EnvConfig
 from .ops import noise
 
 
-def _noise_channels(xy: jax.Array, perm: jax.Array) -> dict:
+def _noise_channels(xy: jax.Array, perm: jax.Array,
+                    mode: str = 'compat') -> dict:
   """All 11 noise channels used by the material pass (worldgen.py:21-61).
 
-  One fused noise3 call over the stacked (13, W, H) point set — cheaper than
-  13 kernel launches and lets XLA tile the whole thing.
+  One fused noise call over the stacked (13, W, H) point set — cheaper than
+  13 kernel launches and lets XLA tile the whole thing.  `perm` is the
+  permutation table in 'compat' mode or an int32 seed in 'fast' mode
+  (see ops/noise.py:noise3_fast).
   """
   x = xy[..., 0].astype(jnp.float32)
   y = xy[..., 1].astype(jnp.float32)
@@ -54,7 +57,10 @@ def _noise_channels(xy: jax.Array, perm: jax.Array) -> dict:
       p(x / 9, y / 9, 4),       # sand (:53)
       p(x / 7, y / 7, 5),       # trees (:58)
   ])  # (13, W, H, 3)
-  n = noise.noise3(points, perm)  # (13, W, H)
+  if mode == 'fast':
+    n = noise.noise3_fast(points, perm)  # (13, W, H)
+  else:
+    n = noise.noise3(points, perm)
   return dict(
       start=n[0],
       water=n[1] + 0.15 * n[2],           # normalize=False (:28)
@@ -71,12 +77,15 @@ def generate_world(key: jax.Array, cfg: EnvConfig) -> state_lib.State:
   tables = rules.TABLES
 
   k_perm, k_mat, k_obj = jax.random.split(key, 3)
-  perm = noise.perm_from_key(k_perm)
+  if cfg.noise_mode == 'fast':
+    perm = jax.random.randint(k_perm, (), 0, 2 ** 31 - 1)  # int seed
+  else:
+    perm = noise.perm_from_key(k_perm)
 
   xs = jnp.arange(w, dtype=jnp.int32)
   ys = jnp.arange(h, dtype=jnp.int32)
   xy = jnp.stack(jnp.meshgrid(xs, ys, indexing='ij'), -1)  # (W, H, 2)
-  n = _noise_channels(xy, perm)
+  n = _noise_channels(xy, perm, cfg.noise_mode)
 
   # --- material pass (worldgen.py:21-61) -------------------------------
   dist = jnp.sqrt(((xy - jnp.asarray([cx, cy])) ** 2)

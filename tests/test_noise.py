@@ -118,3 +118,37 @@ def test_octaves_match_reference_composition():
       + 0.15 * brute_noise3(
           np.concatenate([p / 5, np.full((256, 1), 3.0)], -1), perm))
   assert np.allclose(got.reshape(-1), want, atol=3e-4)
+
+
+def test_fast_noise_statistics_match_compat():
+  """noise3_fast must be distribution-equivalent to the table-hash noise:
+  same lattice/attenuation/gradient set, different (arithmetic) hash."""
+  import jax
+  import jax.numpy as jnp
+  from crafter_tpu.ops import noise
+  key = jax.random.PRNGKey(11)
+  pts = jax.random.uniform(key, (20000, 3)) * 40
+  perm = noise.perm_from_key(key)
+  a = np.asarray(jax.jit(noise.noise3)(pts, perm))
+  b = np.asarray(jax.jit(noise.noise3_fast)(pts, jnp.int32(1234)))
+  assert abs(a.mean() - b.mean()) < 0.01
+  assert abs(a.std() - b.std()) < 0.02
+  # Same range behavior.
+  assert np.abs(b).max() < 1.0
+  # Deterministic in the seed, different across seeds.
+  b2 = np.asarray(jax.jit(noise.noise3_fast)(pts, jnp.int32(1234)))
+  b3 = np.asarray(jax.jit(noise.noise3_fast)(pts, jnp.int32(99)))
+  assert (b == b2).all() and (b != b3).any()
+
+
+def test_fast_noise_smoothness():
+  """Gradient noise must be continuous: nearby points correlate."""
+  import jax
+  import jax.numpy as jnp
+  from crafter_tpu.ops import noise
+  xs = jnp.linspace(0, 10, 2000)
+  pts = jnp.stack([xs, xs * 0.7, jnp.full_like(xs, 3.0)], -1)
+  v = np.asarray(jax.jit(noise.noise3_fast)(pts, jnp.int32(5)))
+  steps = np.abs(np.diff(v))
+  assert steps.max() < 0.05  # no jumps along a dense path
+  assert v.std() > 0.05      # but the field does vary
