@@ -13,13 +13,8 @@ import numpy as np
 
 
 def _apply_platform_env():
-  """`JAX_PLATFORMS` is overridden by preinstalled accelerator plugins in
-  some sandboxes; honor it explicitly before any backend initializes."""
-  import os
-  platforms = os.environ.get('JAX_PLATFORMS')
-  if platforms:
-    import jax
-    jax.config.update('jax_platforms', platforms)
+  from crafter_tpu.utils import apply_platform_env
+  apply_platform_env()
 
 def main():
   _apply_platform_env()

@@ -75,3 +75,16 @@ class TestShardedTrain:
       jax.block_until_ready(metrics)
     assert int(ts.update) == 1
     assert np.isfinite(float(metrics['loss']))
+
+
+class TestParallelHelpers:
+  def test_psum_stats_and_shard_batch(self):
+    import jax.numpy as jnp
+    from crafter_tpu.parallel import dp_mesh, psum_stats, shard_batch
+    mesh = dp_mesh(8)
+    batch = dict(r=jnp.arange(16, dtype=jnp.float32),
+                 scalar=jnp.float32(2.0))
+    sharded = shard_batch(batch, mesh, 16)
+    total = psum_stats(dict(x=sharded['r'].reshape(8, 2).sum(-1)), mesh)
+    # Each shard reduces its local rows; psum sums across the mesh.
+    assert float(total['x'][0]) == float(jnp.arange(16).sum())
