@@ -74,10 +74,14 @@ def bench_engine(num_envs, scan_len, repeats=3, render=False,
     vs2, dones = loop(vs, jax.random.key(r + 1))
     jax.block_until_ready((vs2, dones))
     dt = time.perf_counter() - t0
-    # Distrust a wedged device: the step counters must have advanced.
-    advanced = float(jnp.mean(vs2.env.step - vs.env.step))
-    if not (0 < advanced <= scan_len):
-      raise RuntimeError(f'state did not advance ({advanced})')
+    # Distrust a wedged device: every env must either have advanced by the
+    # full scan or have auto-reset into a new episode (which rewinds its
+    # step counter — episode counters are monotonic).
+    stepped = (vs2.env.step - vs.env.step) == scan_len
+    reset = vs2.episode > vs.episode
+    if not bool(jnp.all(stepped | reset)):
+      bad = int(jnp.sum(~(stepped | reset)))
+      raise RuntimeError(f'{bad} envs neither stepped nor reset')
     best = max(best, num_envs * scan_len / dt)
     vs = vs2
   return best

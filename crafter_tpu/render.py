@@ -154,6 +154,22 @@ def bake_atlas(size: Tuple[int, int] = (64, 64),
                vignette=jnp.asarray(vig))
 
 
+def _table_lookup(table: jax.Array, ids: jax.Array) -> jax.Array:
+  """Gather rows of a small table as a one-hot matmul.
+
+  TPU lowers per-index slice gathers poorly (tens of ms for the 63
+  tile-lookups of a 4096-env frame); with tables this small (≤160 rows) a
+  one-hot contraction runs on the MXU instead.  uint8 texel values (≤255)
+  are exact in bfloat16, and one-hot rows have a single 1, so the result
+  is the exact table row.
+  """
+  t = table.shape[0]
+  flat = table.reshape(t, -1).astype(jnp.bfloat16)
+  oh = jax.nn.one_hot(ids.reshape(-1), t, dtype=jnp.bfloat16)
+  out = oh @ flat
+  return out.reshape(ids.shape + table.shape[1:]).astype(jnp.float32)
+
+
 def _luma(rgb: jax.Array) -> jax.Array:
   """PIL's fixed-point ITU-R 601-2 luma (Convert.c L24 table)."""
   r = rgb[..., 0].astype(jnp.int32)
@@ -188,7 +204,7 @@ def render(state: State, cfg: EnvConfig, atlas: Atlas,
   cx = jnp.clip(wpos[..., 0], 0, cfg.area[0] - 1)
   cy = jnp.clip(wpos[..., 1], 0, cfg.area[1] - 1)
   mids = jnp.where(inside, state.mat_map[cx, cy].astype(jnp.int32), GRAY_ID)
-  tiles = atlas.mat[mids].astype(jnp.float32)               # (gw,gh,ux,uy,3)
+  tiles = _table_lookup(atlas.mat, mids)                    # (gw,gh,ux,uy,3)
 
   # --- entity overlay (engine.py:176-181): cell-unique, so a gather of the
   # occupant's sprite per tile replaces the reference's per-object blits.
@@ -209,7 +225,7 @@ def render(state: State, cfg: EnvConfig, atlas: Atlas,
                                                         TEX_NONE))))))
   texid_grid = jnp.concatenate(
       [jnp.zeros((1,), jnp.int32), texid_slot])[slot_grid]
-  sprite = atlas.ent[texid_grid].astype(jnp.float32)        # (gw,gh,ux,uy,4)
+  sprite = _table_lookup(atlas.ent, texid_grid)             # (gw,gh,ux,uy,4)
   alpha = sprite[..., 3:] / 255.0
   blended = alpha * (sprite[..., :3] / 255.0) + (1 - alpha) * (tiles / 255.0)
   tiles = jnp.floor(255.0 * blended)  # engine.py:283 truncation
@@ -234,7 +250,10 @@ def render(state: State, cfg: EnvConfig, atlas: Atlas,
 
   # --- item strip (engine.py:227-248) ------------------------------------
   amounts = jnp.clip(state.player.inventory, 0, 9)
-  itiles = atlas.item_tiles[jnp.arange(rules.N_ITEMS), amounts]
+  flat_ids = jnp.arange(rules.N_ITEMS) * 10 + amounts
+  itiles = _table_lookup(
+      atlas.item_tiles.reshape((-1,) + atlas.item_tiles.shape[2:]),
+      flat_ids).astype(jnp.uint8)
   pad = gw * item_rows - rules.N_ITEMS
   itiles = jnp.concatenate(
       [itiles, jnp.zeros((pad,) + itiles.shape[1:], itiles.dtype)])
