@@ -28,6 +28,8 @@ def main():
   parser.add_argument('--steps', type=int, default=1000)
   parser.add_argument('--envs', type=int, default=0,
                       help='if >0, run the batched VecEnv instead')
+  parser.add_argument('--profile', type=str, default=None,
+                      help='write a jax.profiler trace to this directory')
   args = parser.parse_args()
 
   import crafter_tpu
@@ -40,11 +42,17 @@ def main():
     print(f'Batched reset time: {1e3 * (time.time() - start):.2f}ms '
           f'({args.envs} envs)')
     rng = np.random.default_rng(args.seed)
+    import contextlib
+    profiler = contextlib.nullcontext()
+    if args.profile:
+      from crafter_tpu.utils.profiling import trace
+      profiler = trace(args.profile)
     start = time.time()
     steps = 0
-    while steps < args.steps:
-      _, _, done, _ = env.step(rng.integers(0, 17, args.envs))
-      steps += args.envs
+    with profiler:
+      while steps < args.steps:
+        _, _, done, _ = env.step(rng.integers(0, 17, args.envs))
+        steps += args.envs
     duration = time.time() - start
     print(f'Step time: {1e3 * duration / steps:.4f}ms ({int(steps/duration)} env-steps/s)')
     return
