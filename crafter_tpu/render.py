@@ -68,7 +68,8 @@ class Atlas:
   mat: jax.Array         # (N_MATERIALS+1, ux, uy, 3) — id 0 = 'unknown'
   ent: jax.Array         # (15, ux, uy, 4) RGBA entity sprites
   item_tiles: jax.Array  # (16, 10, ux, uy, 3) — inventory tile per amount
-  vignette: jax.Array    # (gw*ux, gh*uy) float32 night vignette
+  vignette: jax.Array    # (gh*uy, gw*ux) float32 night vignette,
+  #                          stored row-major like the composed frame
 
 
 def _load(name: str) -> np.ndarray:
@@ -148,7 +149,12 @@ def bake_atlas(size: Tuple[int, int] = (64, 64),
       _draw_alpha(tile, digit_off, digit)
       item_tiles[i, amount] = tile
 
-  vig = _vignette((gw * ux, gh * uy), 0.5).astype(np.float32)
+  # The frame is composed row-major (y, x) from the start — transposing a
+  # (64, 64, 3) uint8 batch afterwards costs ~100x the whole render on TPU
+  # (Mosaic relayout), so the reference's final transpose (env.py:130) is
+  # baked into the composition instead.  The vignette is stored in the
+  # same orientation.
+  vig = _vignette((gw * ux, gh * uy), 0.5).astype(np.float32).T
   return Atlas(mat=jnp.asarray(mat), ent=jnp.asarray(ent),
                item_tiles=jnp.asarray(item_tiles),
                vignette=jnp.asarray(vig))
@@ -230,7 +236,8 @@ def render(state: State, cfg: EnvConfig, atlas: Atlas,
   blended = alpha * (sprite[..., :3] / 255.0) + (1 - alpha) * (tiles / 255.0)
   tiles = jnp.floor(255.0 * blended)  # engine.py:283 truncation
 
-  canvas = tiles.transpose(0, 2, 1, 3, 4).reshape(gw * ux, gh * uy, 3)
+  # Row-major composition: (gh, uy, gw, ux, 3) -> (gh*uy, gw*ux, 3).
+  canvas = tiles.transpose(1, 3, 0, 2, 4).reshape(gh * uy, gw * ux, 3)
 
   # --- lighting (engine.py:182-218) --------------------------------------
   daylight = state_lib.daylight(state.step, cfg.day_length)
@@ -257,20 +264,21 @@ def render(state: State, cfg: EnvConfig, atlas: Atlas,
   pad = gw * item_rows - rules.N_ITEMS
   itiles = jnp.concatenate(
       [itiles, jnp.zeros((pad,) + itiles.shape[1:], itiles.dtype)])
-  # index -> (col = idx % gw, row = idx // gw) (engine.py:238).
+  # index -> (col = idx % gw, row = idx // gw) (engine.py:238), composed
+  # row-major: (rows, uy, gw, ux, 3) -> (rows*uy, gw*ux, 3).
   strip = (itiles.reshape(item_rows, gw, ux, uy, 3)
-           .transpose(1, 2, 0, 3, 4).reshape(gw * ux, item_rows * uy, 3))
+           .transpose(0, 3, 1, 2, 4).reshape(item_rows * uy, gw * ux, 3))
 
-  view = jnp.concatenate([canvas, strip.astype(jnp.float32)], 1)
+  view = jnp.concatenate([canvas, strip.astype(jnp.float32)], 0)
   view = jnp.floor(view).astype(jnp.uint8)  # env.py:129 uint8 assignment
 
-  # --- center on the output canvas, row-major transpose (env.py:123-130).
+  # --- center on the output canvas (env.py:123-130); composition is
+  # already row-major so no final transpose is needed.
   w, hgt = size
   bx = (w - (w // cfg.view[0]) * cfg.view[0]) // 2
   by = (hgt - (hgt // cfg.view[1]) * cfg.view[1]) // 2
-  out = jnp.zeros((w, hgt, 3), jnp.uint8)
-  out = jax.lax.dynamic_update_slice(out, view, (bx, by, 0))
-  return out.transpose(1, 0, 2)
+  out = jnp.zeros((hgt, w, 3), jnp.uint8)
+  return jax.lax.dynamic_update_slice(out, view, (by, bx, 0))
 
 
 def semantic_view(state: State, cfg: EnvConfig) -> jax.Array:

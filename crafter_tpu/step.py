@@ -58,6 +58,7 @@ from flax import struct
 from . import rules
 from . import state as state_lib
 from .config import DEFAULT_CONFIG, EnvConfig
+from .ops import maps
 from .state import Entities, Player, State
 
 # Class indices for chunk balancing, in the reference's balancing order
@@ -159,8 +160,8 @@ def _player_phase(state: State, action: jax.Array, key: jax.Array,
   # The do/place target uses the facing from *before* this tick's move
   # (objects.py:100 computes it at update start).
   target = pos + jnp.asarray(rules.DIRS)[p.facing]
-  tmat = _at(mat_map, target).astype(jnp.int32)
-  tobj = _at(obj_map, target)          # slot + 1, 0 = empty
+  tmat = maps.map_gather(mat_map, target)
+  tobj = maps.map_gather(obj_map, target)  # slot + 1, 0 = empty
   t_inside = _inside(target, cfg.area)
 
   is_move = (1 <= action) & (action <= 4)
@@ -173,38 +174,41 @@ def _player_phase(state: State, action: jax.Array, key: jax.Array,
   move_dir_idx = jnp.clip(action - 1, 0, 3)
   facing = jnp.where(is_move, move_dir_idx, p.facing)
   mtarget = pos + jnp.asarray(rules.DIRS)[move_dir_idx]
+  wp = jnp.asarray(t.walkable_player, jnp.int32)
   can_move = (is_move & _inside(mtarget, cfg.area)
-              & jnp.asarray(t.walkable_player)[_at(mat_map, mtarget)
-                                               .astype(jnp.int32)]
-              & (_at(obj_map, mtarget) == 0))
+              & maps.table_gather(
+                  wp, maps.map_gather(mat_map, mtarget)).astype(bool)
+              & (maps.map_gather(obj_map, mtarget) == 0))
   new_pos = jnp.where(can_move, mtarget, pos)
-  obj_map = obj_map.at[pos[0], pos[1]].set(
-      jnp.where(can_move, 0, obj_map[pos[0], pos[1]]))
-  obj_map = obj_map.at[new_pos[0], new_pos[1]].set(1)
+  obj_map = maps.map_scatter(
+      obj_map, jnp.stack([pos, new_pos]),
+      jnp.asarray([0, 1]), jnp.stack([can_move, jnp.asarray(True)]))
   # Standing on lava is instant death (objects.py:178-179).
-  on_lava = is_move & (_at(mat_map, new_pos) == rules.MAT_LAVA)
+  on_lava = is_move & (maps.map_gather(mat_map, new_pos) == rules.MAT_LAVA)
   inv = inv.at[rules.ITEM_HEALTH].set(
       jnp.where(on_lava, 0, inv[rules.ITEM_HEALTH]))
 
   # --- do on an entity (objects.py:181-213). -----------------------------
   do_obj = is_do & (tobj > 0)
-  tslot = jnp.where(do_obj, tobj - 1, 0)
-  ttype = jnp.where(do_obj, ent.etype[tslot], rules.E_NONE)
+  tslot = jnp.where(do_obj, tobj - 1, -1)
+  ttype = maps.table_gather(ent.etype, tslot[None])[0]  # fill 0 = none
   damage = jnp.max(jnp.stack([
       jnp.int32(1),
       jnp.where(inv[rules.ITEM_ID['wood_sword']] > 0, 2, 0),
       jnp.where(inv[rules.ITEM_ID['stone_sword']] > 0, 3, 0),
       jnp.where(inv[rules.ITEM_ID['iron_sword']] > 0, 5, 0)]))
   # Ripe plant: eat, reset growth, +4 food (objects.py:188-192).
-  eat_plant = do_obj & (ttype == rules.E_PLANT) & (ent.aux[tslot] > 300)
-  ent = ent.replace(aux=ent.aux.at[tslot].set(
-      jnp.where(eat_plant, 0, ent.aux[tslot])))
+  taux = maps.table_gather(ent.aux, tslot[None], precise=True)[0]
+  thp = maps.table_gather(ent.health, tslot[None])[0]
+  eat_plant = do_obj & (ttype == rules.E_PLANT) & (taux > 300)
+  ent = ent.replace(aux=maps.table_scatter_set(
+      ent.aux, tslot[None], 0, eat_plant[None]))
   # Mobs take damage; health floors at 0 (objects.py:28-30 setter).
   hit_mob = do_obj & ((ttype == rules.E_ZOMBIE) | (ttype == rules.E_SKELETON)
                       | (ttype == rules.E_COW))
-  hp_after = jnp.maximum(0, ent.health[tslot] - damage)
-  ent = ent.replace(health=ent.health.at[tslot].set(
-      jnp.where(hit_mob, hp_after, ent.health[tslot])))
+  hp_after = jnp.maximum(0, thp - damage)
+  ent = ent.replace(health=maps.table_scatter_set(
+      ent.health, tslot[None], hp_after[None], hit_mob[None]))
   killed = hit_mob & (hp_after <= 0)
   eat_cow = killed & (ttype == rules.E_COW)
   food_gain = jnp.where(eat_plant, 4, 0) + jnp.where(eat_cow, 6, 0)
@@ -222,9 +226,9 @@ def _player_phase(state: State, action: jax.Array, key: jax.Array,
   can_collect = (do_mat & jnp.asarray(t.collectible)[tmat]
                  & jnp.all(inv >= jnp.asarray(t.collect_require)[tmat]))
   # Leaves are applied before the probability draw (objects.py:225-226).
-  leave = jnp.asarray(t.collect_leaves)[tmat].astype(jnp.uint8)
-  sx = jnp.where(can_collect & t_inside, target[0], cfg.area[0])
-  mat_map = mat_map.at[sx, target[1]].set(leave, mode='drop')
+  leave = jnp.asarray(t.collect_leaves)[tmat]
+  mat_map = maps.map_scatter(mat_map, target[None], leave[None],
+                             (can_collect & t_inside)[None])
   got = jax.random.uniform(key) <= jnp.asarray(t.collect_prob)[tmat]
   receive = can_collect & got
   inv = inv + jnp.where(receive, jnp.asarray(t.collect_receive)[tmat], 0)
@@ -242,9 +246,9 @@ def _player_phase(state: State, action: jax.Array, key: jax.Array,
               & jnp.all(inv >= jnp.asarray(t.place_uses)[pidx]))
   inv = inv - jnp.where(place_ok, jnp.asarray(t.place_uses)[pidx], 0)
   place_mat = place_ok & jnp.asarray(t.place_is_material)[pidx]
-  px = jnp.where(place_mat, target[0], cfg.area[0])
-  mat_map = mat_map.at[px, target[1]].set(
-      jnp.asarray(t.place_material)[pidx].astype(jnp.uint8), mode='drop')
+  mat_map = maps.map_scatter(
+      mat_map, target[None], jnp.asarray(t.place_material)[pidx][None],
+      place_mat[None])
   plant_spawn = place_ok & ~jnp.asarray(t.place_is_material)[pidx]
   ach = ach.at[jnp.where(place_ok, jnp.asarray(t.place_ach)[pidx],
                          rules.N_ACHIEVEMENTS)].add(1, mode='drop')
@@ -256,9 +260,9 @@ def _player_phase(state: State, action: jax.Array, key: jax.Array,
   wpos = pos + jnp.stack([dx, dy], -1)            # (3, 3, 2)
   wvalid = ((pos[0] >= 1) & (pos[1] >= 1)
             & (wpos[..., 0] < cfg.area[0]) & (wpos[..., 1] < cfg.area[1]))
-  wmat = _at(mat_map, wpos).astype(jnp.int32)
-  nearby = jnp.zeros((rules.N_MATERIALS,), bool).at[
-      jnp.where(wvalid, wmat, rules.N_MATERIALS)].set(True, mode='drop')
+  wmat = maps.map_gather(mat_map, wpos)
+  nearby = ((wmat[..., None] == jnp.arange(rules.N_MATERIALS))
+            & wvalid[..., None]).any((0, 1))
   make_ok = (is_make
              & jnp.all(nearby | ~jnp.asarray(t.make_nearby)[midx])
              & jnp.all(inv >= jnp.asarray(t.make_uses)[midx]))
@@ -322,7 +326,12 @@ def _player_phase(state: State, action: jax.Array, key: jax.Array,
 
 def _mob_phase(state: State, key: jax.Array, cfg: EnvConfig,
                plant_spawn, plant_pos):
-  """All non-player entities decide simultaneously; claims order conflicts."""
+  """All non-player entities decide simultaneously; claims order conflicts.
+
+  Every map access here runs through the one-hot primitives in ops/maps.py
+  — per-point gathers/scatters at (batch, K) shapes serialize on TPU and
+  would cost ~35 ms each.
+  """
   t = rules.TABLES
   k = cfg.max_entities
   w, h = cfg.area
@@ -349,10 +358,11 @@ def _mob_phase(state: State, key: jax.Array, cfg: EnvConfig,
   # :327-329 remove then fall through).
   dying = active & (hp <= 0) & (is_cow | is_zom | is_skel)
 
-  # Block the freshly placed plant's cell for all movement/occupancy checks
-  # (in the reference it is added mid-tick, objects.py:248).
-  bx = jnp.where(plant_spawn, plant_pos[0], w)
-  obj_map_s1 = obj_map.at[bx, plant_pos[1]].set(k + 1, mode='drop')
+  # The freshly placed plant's cell counts as occupied for every check this
+  # tick (in the reference it is added mid-tick, objects.py:248); it is
+  # compared against positions directly instead of writing a sentinel.
+  def pending_at(p):
+    return plant_spawn & (p == plant_pos).all(-1)
 
   # --- decisions -----------------------------------------------------------
   # Cow: random walk with p=0.5 (objects.py:277-279).
@@ -375,38 +385,43 @@ def _mob_phase(state: State, key: jax.Array, cfg: EnvConfig,
   s_wants_other = ~c_shoot & (c_approach | c_walk)
   sdir = jnp.where(retreat[:, None], sdir_retreat, sdir_other)
   skel_wants = retreat | s_wants_other
-  # Arrow (objects.py:373-384): hit / despawn / fly.
+  # Arrows fly along their facing; their `target` below doubles as the
+  # impact cell (objects.py:373-384).
   adir = jnp.asarray(rules.DIRS)[ent.facing]
-  atarget = pos + adir
-  a_tmat = _at(mat_map, atarget).astype(jnp.int32)
-  a_tobj = _at(obj_map_s1, atarget)
-  a_hit = is_arrow & active & (a_tobj > 0)
-  a_block = (is_arrow & active & ~a_hit
-             & ~jnp.asarray(t.walkable_arrow)[a_tmat])
-  a_fly = is_arrow & active & ~a_hit & ~a_block
 
   move_dir = jnp.where(is_zom[:, None], zdir,
                        jnp.where(is_skel[:, None], sdir,
                                  jnp.where(is_arrow[:, None], adir, rdir)))
+  target = pos + move_dir
+  tmat = maps.map_gather(mat_map, target)
+  tobj_raw = maps.map_gather(obj_map, target)
+  tobj = jnp.where((tobj_raw == 0) & pending_at(target), k + 1, tobj_raw)
+
+  # Arrow impact decisions (objects.py:373-384): hit / despawn / fly.
+  a_hit = is_arrow & active & (tobj > 0)
+  a_block = (is_arrow & active & ~a_hit
+             & ~maps.table_gather(
+                 jnp.asarray(t.walkable_arrow, jnp.int32), tmat).astype(bool))
+  a_fly = is_arrow & active & ~a_hit & ~a_block
+
   wants = active & ~dying & (
       cow_wants | is_zom | (is_skel & skel_wants) | a_fly)
 
   # --- claim-based movement resolution ------------------------------------
-  walk_tab = jnp.asarray(_walk_table())
-  target = pos + move_dir
-  tmat = _at(mat_map, target).astype(jnp.int32)
-  free = _at(obj_map_s1, target) == 0
-  feasible = _inside(target, cfg.area) & walk_tab[et, tmat] & free
+  walk_flat = jnp.asarray(_walk_table().reshape(-1).astype(np.int32))
+  walk_ok = maps.table_gather(
+      walk_flat, et * rules.N_MATERIALS + tmat).astype(bool)
+  feasible = _inside(target, cfg.area) & walk_ok & (tobj == 0)
   valid = wants & feasible
-  cx = jnp.where(valid, target[:, 0], w)
-  claim = jnp.full((w, h), k, jnp.int32).at[cx, target[:, 1]].min(
-      slots, mode='drop')
-  won = valid & (_at(claim, target, k) == slots)
+  won = maps.claim_lowest(target, valid)
   npos = jnp.where(won[:, None], target, pos)
-  ox = jnp.where(won, pos[:, 0], w)
-  m1 = obj_map_s1.at[ox, pos[:, 1]].set(0, mode='drop')
-  nx = jnp.where(won, npos[:, 0], w)
-  m1 = m1.at[nx, npos[:, 1]].set(slots + 1, mode='drop')
+  # One combined scatter: winners vacate their old cell and occupy the new
+  # one (cells are distinct: targets were free and claims are unique).
+  m1 = maps.map_scatter(
+      obj_map,
+      jnp.concatenate([pos, target]),
+      jnp.concatenate([jnp.zeros((k,), jnp.int32), slots + 1]),
+      jnp.concatenate([won, won]))
 
   # --- zombie melee (objects.py:302-312): post-move adjacency, cooldown
   # counts down only while adjacent, 7 damage if the player sleeps.
@@ -426,23 +441,20 @@ def _mob_phase(state: State, key: jax.Array, cfg: EnvConfig,
   arrow_pos = pos + shoot_dir
 
   # --- arrow impacts -------------------------------------------------------
-  dmg_slot = jnp.where(a_hit, a_tobj - 1, k)       # k → dropped
-  dmg = jnp.zeros((k + 1,), jnp.int32).at[dmg_slot].add(2)[:k]
+  dmg = maps.table_scatter_add(
+      k, jnp.where(a_hit & (tobj <= k), tobj - 1, -1), 2)
   player_arrow_dmg = dmg[0]
   hp = jnp.maximum(0, hp - jnp.where(slots == 0, 0, dmg))
   # Arrows destroy tables/furnaces into path (objects.py:380-382).
-  smash = a_block & ((a_tmat == rules.MAT_TABLE)
-                     | (a_tmat == rules.MAT_FURNACE))
-  mx = jnp.where(smash, atarget[:, 0], w)
-  mat_map = mat_map.at[mx, atarget[:, 1]].set(
-      jnp.uint8(rules.MAT_PATH), mode='drop')
+  smash = a_block & ((tmat == rules.MAT_TABLE)
+                     | (tmat == rules.MAT_FURNACE))
+  mat_map = maps.map_scatter(mat_map, target, rules.MAT_PATH, smash)
 
   # --- plants (objects.py:405-411): grow, take damage from adjacent mobs.
   aux = jnp.where(active & is_plant, aux + 1, aux)
   nbrs = npos[:, None, :] + jnp.asarray(rules.DIRS)[None, :, :]  # (K, 4, 2)
-  nslot = _at(m1, nbrs) - 1                                      # (K, 4)
-  ntype = jnp.where((nslot >= 0) & (nslot < k),
-                    et[jnp.clip(nslot, 0, k - 1)], 0)
+  nslot = maps.map_gather(m1, nbrs) - 1                          # (K, 4)
+  ntype = maps.table_gather(et, nslot)         # OOB/empty -> 0 (none)
   hostile = ((ntype == rules.E_ZOMBIE) | (ntype == rules.E_SKELETON)
              | (ntype == rules.E_COW)).any(-1)
   hp = jnp.where(active & is_plant & hostile, jnp.maximum(0, hp - 1), hp)
@@ -450,16 +462,17 @@ def _mob_phase(state: State, key: jax.Array, cfg: EnvConfig,
 
   # --- removals ------------------------------------------------------------
   removed = dying | (a_hit | a_block) | plant_dead
-  rx = jnp.where(removed, npos[:, 0], w)
-  m2 = m1.at[rx, npos[:, 1]].set(0, mode='drop')
+  m2 = maps.map_scatter(m1, npos, 0, removed)
   et = jnp.where(removed, 0, et)
 
   # Arrow spawn feasibility (objects.py:348-351): target must be free and
   # arrow-walkable; reload resets only when the shot happens.
+  aw = jnp.asarray(t.walkable_arrow, jnp.int32)
   arrow_ok = (shoot & _inside(arrow_pos, cfg.area)
-              & jnp.asarray(t.walkable_arrow)[
-                  _at(mat_map, arrow_pos).astype(jnp.int32)]
-              & (_at(m2, arrow_pos) == 0))
+              & maps.table_gather(
+                  aw, maps.map_gather(mat_map, arrow_pos)).astype(bool)
+              & (maps.map_gather(m2, arrow_pos) == 0)
+              & ~pending_at(arrow_pos))
   reload = jnp.where(arrow_ok, 4, reload)
   aux = jnp.where(is_skel, reload, aux)
 
@@ -468,9 +481,6 @@ def _mob_phase(state: State, key: jax.Array, cfg: EnvConfig,
       inventory=state.player.inventory.at[rules.ITEM_HEALTH].set(
           jnp.maximum(0, state.player.inventory[rules.ITEM_HEALTH]
                       - zdmg - player_arrow_dmg)))
-  # Un-block the pending plant cell; it gets its real slot in the spawn
-  # phase.
-  m2 = m2.at[bx, plant_pos[1]].set(0, mode='drop')
   state = state.replace(mat_map=mat_map, obj_map=m2, ent=ent, player=player)
   arrow_req = dict(valid=arrow_ok, pos=arrow_pos,
                    facing=_dir_index(shoot_dir))
@@ -521,13 +531,13 @@ def _balance_phase(state: State, key: jax.Array, cfg: EnvConfig):
   cid = (ent.pos[:, 0] // csx) * ncy + ent.pos[:, 1] // csy
   touched = state.chunk_touched.reshape(-1)
 
-  # Per-chunk, per-class creature counts.
+  # Per-chunk, per-class creature counts (dense segment-sum, ops/maps.py).
   cls = jnp.full((k,), -1, jnp.int32)
   for ci, etype in enumerate(BAL_CLASSES):
     cls = jnp.where(ent.etype == etype, ci, cls)
-  idx = jnp.where(live & (cls >= 0), cid * 3 + cls, nch * 3)
-  counts = jnp.zeros((nch * 3 + 1,), jnp.int32).at[idx].add(1)[:-1]
-  counts = counts.reshape(nch, 3)
+  member = live & (cls >= 0)
+  seg = jnp.where(member, cid * 3 + cls, -1)
+  counts = maps.table_scatter_add(nch * 3, seg, 1).reshape(nch, 3)
 
   # Per-chunk material space and random spawn cells.
   matv = _chunk_view(state.mat_map, cfg, 0)             # (nch, csx*csy)
@@ -570,18 +580,20 @@ def _balance_phase(state: State, key: jax.Array, cfg: EnvConfig):
   sp_dist = jnp.abs(sp_pos - ppos).sum(-1)              # L1, objects.py:49-52
   span = jnp.asarray(BAL_SPAN)[:, None]
   spawn_ok = (want_spawn.T & pick_ok & _inside(sp_pos, cfg.area)
-              & (_at(state.obj_map, sp_pos) == 0)
+              & (maps.map_gather(state.obj_map, sp_pos) == 0)
               & (sp_dist >= span))                      # (3, nch)
 
   # Despawn: uniform random creature of the class in the chunk, removed when
-  # far enough from the player (env.py:175-179).
-  prio = jax.random.randint(k_despawn, (k,), 0, 1 << 15)
-  packed = (prio << 8) | slots
-  didx = jnp.where(live & (cls >= 0), cid * 3 + cls, nch * 3)
-  best = jnp.full((nch * 3 + 1,), -1, jnp.int32).at[didx].max(packed)[:-1]
-  victim = (best & 0xFF).reshape(nch, 3)                # slot per (chunk, cls)
-  vdist = jnp.abs(ent.pos[victim] - ppos).sum(-1)
-  despawn_ok = (want_despawn & (best.reshape(nch, 3) >= 0)
+  # far enough from the player (env.py:175-179).  Uniform pick = argmax of
+  # iid random priorities, dense per-segment (ops/maps.py).
+  prio = jax.random.randint(k_despawn, (k,), 0, 1 << 30)
+  victim, best = maps.masked_argmax_per_segment(
+      jnp.where(member, cid * 3 + cls, -1), prio, nch * 3, member)
+  victim = victim.reshape(nch, 3)
+  vx = maps.table_gather(ent.pos[:, 0], victim.reshape(-1)).reshape(nch, 3)
+  vy = maps.table_gather(ent.pos[:, 1], victim.reshape(-1)).reshape(nch, 3)
+  vdist = jnp.abs(vx - ppos[0]) + jnp.abs(vy - ppos[1])
+  despawn_ok = (want_despawn & (victim >= 0)
                 & (vdist >= jnp.asarray(BAL_DESPAN)[None, :]))
 
   spawn_req = dict(
@@ -622,33 +634,29 @@ def _spawn_phase(state: State, cfg: EnvConfig, plant_spawn, plant_pos,
   req_facing = jnp.concatenate([
       jnp.zeros((1,), jnp.int32), arrow_req['facing'],
       jnp.zeros_like(bal_req['etype'])])
-  nreq = req_valid.shape[0]
-  ridx = jnp.arange(nreq)
-
   # Cell uniqueness among requests + cell must be free in the current map.
   req_valid = (req_valid & _inside(req_pos, cfg.area)
-               & (_at(state.obj_map, req_pos) == 0))
-  qx = jnp.where(req_valid, req_pos[:, 0], w)
-  claim = jnp.full((w, h), nreq, jnp.int32).at[qx, req_pos[:, 1]].min(
-      ridx, mode='drop')
-  req_valid = req_valid & (_at(claim, req_pos, nreq) == ridx)
+               & (maps.map_gather(state.obj_map, req_pos) == 0))
+  req_valid = maps.claim_lowest(req_pos, req_valid)
 
   # Lowest free slots, assigned in request order.
   free_sorted = jnp.sort(jnp.where(ent.etype == 0, jnp.arange(k), k))
   rank = jnp.cumsum(req_valid) - 1
-  slot = free_sorted[jnp.clip(rank, 0, k - 1)]
+  slot = maps.table_gather(free_sorted, jnp.clip(rank, 0, k - 1), fill=k)
   ok = req_valid & (slot < k)
-  slot = jnp.where(ok, slot, k)
+  slot = jnp.where(ok, slot, -1)
 
-  health = jnp.asarray(TYPE_HEALTH)[req_type]
+  health = maps.table_gather(jnp.asarray(TYPE_HEALTH), req_type)
   ent = ent.replace(
-      etype=ent.etype.at[slot].set(req_type, mode='drop'),
-      pos=ent.pos.at[slot].set(req_pos, mode='drop'),
-      health=ent.health.at[slot].set(health, mode='drop'),
-      aux=ent.aux.at[slot].set(0, mode='drop'),
-      facing=ent.facing.at[slot].set(req_facing, mode='drop'))
-  sx = jnp.where(ok, req_pos[:, 0], w)
-  obj_map = state.obj_map.at[sx, req_pos[:, 1]].set(slot + 1, mode='drop')
+      etype=maps.table_scatter_set(ent.etype, slot, req_type, ok),
+      pos=jnp.stack([
+          maps.table_scatter_set(ent.pos[:, 0], slot, req_pos[:, 0], ok),
+          maps.table_scatter_set(ent.pos[:, 1], slot, req_pos[:, 1], ok)],
+          -1),
+      health=maps.table_scatter_set(ent.health, slot, health, ok),
+      aux=maps.table_scatter_set(ent.aux, slot, 0, ok),
+      facing=maps.table_scatter_set(ent.facing, slot, req_facing, ok))
+  obj_map = maps.map_scatter(state.obj_map, req_pos, slot + 1, ok)
   return state.replace(ent=ent, obj_map=obj_map)
 
 
@@ -672,14 +680,15 @@ def step(state: State, action: jax.Array,
   # state: a full-state select per tick would copy ~25 KB/env/step.
   despawn, bal_req = _balance_phase(state, k_balance, cfg)
   is_bal = (step_ % cfg.balance_every) == 0
-  vslot = jnp.where(is_bal & despawn['valid'], despawn['slot'],
-                    cfg.max_entities)
-  vpos = state.ent.pos[jnp.clip(vslot, 0, cfg.max_entities - 1)]
-  vx = jnp.where(vslot < cfg.max_entities, vpos[:, 0], cfg.area[0])
+  vok = is_bal & despawn['valid']
+  vslot = despawn['slot']
+  vpos = jnp.stack([
+      maps.table_gather(state.ent.pos[:, 0], vslot),
+      maps.table_gather(state.ent.pos[:, 1], vslot)], -1)
   state = state.replace(
       ent=state.ent.replace(
-          etype=state.ent.etype.at[vslot].set(0, mode='drop')),
-      obj_map=state.obj_map.at[vx, vpos[:, 1]].set(0, mode='drop'))
+          etype=maps.table_scatter_set(state.ent.etype, vslot, 0, vok)),
+      obj_map=maps.map_scatter(state.obj_map, vpos, 0, vok))
   bal_req = dict(bal_req, valid=bal_req['valid'] & is_bal)
 
   state = _spawn_phase(state, cfg, plant_spawn, plant_pos, arrow_req,
@@ -689,9 +698,12 @@ def step(state: State, action: jax.Array,
   # engine.py:36/:57/:78-79, consumed by env.py:90-95).
   (csx, csy), (ncx, ncy) = cfg.chunk_size, cfg.n_chunks
   live = state.ent.etype > 0
-  tx = jnp.where(live, state.ent.pos[:, 0] // csx, ncx)
-  touched = state.chunk_touched.at[tx, state.ent.pos[:, 1] // csy].set(
-      True, mode='drop')
+  cid = jnp.where(
+      live, (state.ent.pos[:, 0] // csx) * ncy + state.ent.pos[:, 1] // csy,
+      -1)
+  touched = (state.chunk_touched.reshape(-1)
+             | (maps.table_scatter_add(ncx * ncy, cid, 1) > 0)
+             ).reshape(ncx, ncy)
 
   # Reward and termination (env.py:97-107).
   hp = state.player.inventory[rules.ITEM_HEALTH]
