@@ -119,6 +119,25 @@ def table_scatter_add(size: int, idx: jax.Array, vals) -> jax.Array:
   return out.astype(jnp.int32)
 
 
+def occupant(query_pos: jax.Array, ent_pos: jax.Array,
+             alive: jax.Array) -> jax.Array:
+  """Which entity occupies each queried cell: slot+1, or 0 if empty.
+
+  query_pos (..., 2); ent_pos (K, 2); alive (K,).  Entities are unique per
+  cell, so the lowest matching slot is the occupant.  Pairwise position
+  compares on the VPU — the entity table IS the occupancy index, so no
+  obj_map gather is needed in the hot path.
+  """
+  k = ent_pos.shape[0]
+  lead = query_pos.shape[:-1]
+  q = query_pos.reshape(-1, 2)
+  match = ((q[:, None, 0] == ent_pos[None, :, 0])
+           & (q[:, None, 1] == ent_pos[None, :, 1])
+           & alive[None, :])
+  slot = jnp.where(match, jnp.arange(k)[None, :], k).min(-1)
+  return jnp.where(slot < k, slot + 1, 0).reshape(lead)
+
+
 def claim_lowest(pos: jax.Array, valid: jax.Array) -> jax.Array:
   """Movement-claim resolution: does each claimant win its target cell?
 

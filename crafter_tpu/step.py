@@ -161,7 +161,8 @@ def _player_phase(state: State, action: jax.Array, key: jax.Array,
   # (objects.py:100 computes it at update start).
   target = pos + jnp.asarray(rules.DIRS)[p.facing]
   tmat = maps.map_gather(mat_map, target)
-  tobj = maps.map_gather(obj_map, target)  # slot + 1, 0 = empty
+  alive = ent.etype > 0
+  tobj = maps.occupant(target[None], ent.pos, alive)[0]  # slot+1, 0 empty
   t_inside = _inside(target, cfg.area)
 
   is_move = (1 <= action) & (action <= 4)
@@ -178,11 +179,9 @@ def _player_phase(state: State, action: jax.Array, key: jax.Array,
   can_move = (is_move & _inside(mtarget, cfg.area)
               & maps.table_gather(
                   wp, maps.map_gather(mat_map, mtarget)).astype(bool)
-              & (maps.map_gather(obj_map, mtarget) == 0))
+              & (maps.occupant(mtarget[None], ent.pos, alive)[0] == 0))
   new_pos = jnp.where(can_move, mtarget, pos)
-  obj_map = maps.map_scatter(
-      obj_map, jnp.stack([pos, new_pos]),
-      jnp.asarray([0, 1]), jnp.stack([can_move, jnp.asarray(True)]))
+  # obj_map is rebuilt from the entity table once per tick (see step()).
   # Standing on lava is instant death (objects.py:178-179).
   on_lava = is_move & (maps.map_gather(mat_map, new_pos) == rules.MAT_LAVA)
   inv = inv.at[rules.ITEM_HEALTH].set(
@@ -394,7 +393,8 @@ def _mob_phase(state: State, key: jax.Array, cfg: EnvConfig,
                                  jnp.where(is_arrow[:, None], adir, rdir)))
   target = pos + move_dir
   tmat = maps.map_gather(mat_map, target)
-  tobj_raw = maps.map_gather(obj_map, target)
+  alive = et > 0
+  tobj_raw = maps.occupant(target, pos, alive)
   tobj = jnp.where((tobj_raw == 0) & pending_at(target), k + 1, tobj_raw)
 
   # Arrow impact decisions (objects.py:373-384): hit / despawn / fly.
@@ -415,13 +415,6 @@ def _mob_phase(state: State, key: jax.Array, cfg: EnvConfig,
   valid = wants & feasible
   won = maps.claim_lowest(target, valid)
   npos = jnp.where(won[:, None], target, pos)
-  # One combined scatter: winners vacate their old cell and occupy the new
-  # one (cells are distinct: targets were free and claims are unique).
-  m1 = maps.map_scatter(
-      obj_map,
-      jnp.concatenate([pos, target]),
-      jnp.concatenate([jnp.zeros((k,), jnp.int32), slots + 1]),
-      jnp.concatenate([won, won]))
 
   # --- zombie melee (objects.py:302-312): post-move adjacency, cooldown
   # counts down only while adjacent, 7 damage if the player sleeps.
@@ -451,9 +444,12 @@ def _mob_phase(state: State, key: jax.Array, cfg: EnvConfig,
   mat_map = maps.map_scatter(mat_map, target, rules.MAT_PATH, smash)
 
   # --- plants (objects.py:405-411): grow, take damage from adjacent mobs.
+  # Adjacency checked against post-move positions, pre-removal liveness
+  # (dying mobs still occupy their cell at this point, as in the map-based
+  # formulation).
   aux = jnp.where(active & is_plant, aux + 1, aux)
   nbrs = npos[:, None, :] + jnp.asarray(rules.DIRS)[None, :, :]  # (K, 4, 2)
-  nslot = maps.map_gather(m1, nbrs) - 1                          # (K, 4)
+  nslot = maps.occupant(nbrs, npos, alive) - 1                   # (K, 4)
   ntype = maps.table_gather(et, nslot)         # OOB/empty -> 0 (none)
   hostile = ((ntype == rules.E_ZOMBIE) | (ntype == rules.E_SKELETON)
              | (ntype == rules.E_COW)).any(-1)
@@ -462,7 +458,6 @@ def _mob_phase(state: State, key: jax.Array, cfg: EnvConfig,
 
   # --- removals ------------------------------------------------------------
   removed = dying | (a_hit | a_block) | plant_dead
-  m2 = maps.map_scatter(m1, npos, 0, removed)
   et = jnp.where(removed, 0, et)
 
   # Arrow spawn feasibility (objects.py:348-351): target must be free and
@@ -471,7 +466,7 @@ def _mob_phase(state: State, key: jax.Array, cfg: EnvConfig,
   arrow_ok = (shoot & _inside(arrow_pos, cfg.area)
               & maps.table_gather(
                   aw, maps.map_gather(mat_map, arrow_pos)).astype(bool)
-              & (maps.map_gather(m2, arrow_pos) == 0)
+              & (maps.occupant(arrow_pos, npos, et > 0) == 0)
               & ~pending_at(arrow_pos))
   reload = jnp.where(arrow_ok, 4, reload)
   aux = jnp.where(is_skel, reload, aux)
@@ -481,7 +476,7 @@ def _mob_phase(state: State, key: jax.Array, cfg: EnvConfig,
       inventory=state.player.inventory.at[rules.ITEM_HEALTH].set(
           jnp.maximum(0, state.player.inventory[rules.ITEM_HEALTH]
                       - zdmg - player_arrow_dmg)))
-  state = state.replace(mat_map=mat_map, obj_map=m2, ent=ent, player=player)
+  state = state.replace(mat_map=mat_map, ent=ent, player=player)
   arrow_req = dict(valid=arrow_ok, pos=arrow_pos,
                    facing=_dir_index(shoot_dir))
   return state, arrow_req
@@ -580,7 +575,7 @@ def _balance_phase(state: State, key: jax.Array, cfg: EnvConfig):
   sp_dist = jnp.abs(sp_pos - ppos).sum(-1)              # L1, objects.py:49-52
   span = jnp.asarray(BAL_SPAN)[:, None]
   spawn_ok = (want_spawn.T & pick_ok & _inside(sp_pos, cfg.area)
-              & (maps.map_gather(state.obj_map, sp_pos) == 0)
+              & (maps.occupant(sp_pos, ent.pos, live) == 0)
               & (sp_dist >= span))                      # (3, nch)
 
   # Despawn: uniform random creature of the class in the chunk, removed when
@@ -634,9 +629,9 @@ def _spawn_phase(state: State, cfg: EnvConfig, plant_spawn, plant_pos,
   req_facing = jnp.concatenate([
       jnp.zeros((1,), jnp.int32), arrow_req['facing'],
       jnp.zeros_like(bal_req['etype'])])
-  # Cell uniqueness among requests + cell must be free in the current map.
+  # Cell uniqueness among requests + cell must be free right now.
   req_valid = (req_valid & _inside(req_pos, cfg.area)
-               & (maps.map_gather(state.obj_map, req_pos) == 0))
+               & (maps.occupant(req_pos, ent.pos, ent.etype > 0) == 0))
   req_valid = maps.claim_lowest(req_pos, req_valid)
 
   # Lowest free slots, assigned in request order.
@@ -656,8 +651,7 @@ def _spawn_phase(state: State, cfg: EnvConfig, plant_spawn, plant_pos,
       health=maps.table_scatter_set(ent.health, slot, health, ok),
       aux=maps.table_scatter_set(ent.aux, slot, 0, ok),
       facing=maps.table_scatter_set(ent.facing, slot, req_facing, ok))
-  obj_map = maps.map_scatter(state.obj_map, req_pos, slot + 1, ok)
-  return state.replace(ent=ent, obj_map=obj_map)
+  return state.replace(ent=ent)
 
 
 # ---------------------------------------------------------------------------
@@ -682,17 +676,21 @@ def step(state: State, action: jax.Array,
   is_bal = (step_ % cfg.balance_every) == 0
   vok = is_bal & despawn['valid']
   vslot = despawn['slot']
-  vpos = jnp.stack([
-      maps.table_gather(state.ent.pos[:, 0], vslot),
-      maps.table_gather(state.ent.pos[:, 1], vslot)], -1)
   state = state.replace(
       ent=state.ent.replace(
-          etype=maps.table_scatter_set(state.ent.etype, vslot, 0, vok)),
-      obj_map=maps.map_scatter(state.obj_map, vpos, 0, vok))
+          etype=maps.table_scatter_set(state.ent.etype, vslot, 0, vok)))
   bal_req = dict(bal_req, valid=bal_req['valid'] & is_bal)
 
   state = _spawn_phase(state, cfg, plant_spawn, plant_pos, arrow_req,
                        bal_req)
+
+  # Rebuild the occupancy map once from the entity table (cells are unique
+  # by construction); the hot path above queries occupancy via pairwise
+  # position matching (ops/maps.py:occupant) and never reads obj_map.
+  obj_map = maps.map_scatter(
+      jnp.zeros_like(state.obj_map), state.ent.pos,
+      jnp.arange(cfg.max_entities) + 1, state.ent.etype > 0)
+  state = state.replace(obj_map=obj_map)
 
   # Track chunks that held entities (the reference's defaultdict keys,
   # engine.py:36/:57/:78-79, consumed by env.py:90-95).
