@@ -64,15 +64,16 @@ def bench_engine(num_envs, scan_len, repeats=3, render=False,
     return vs, dones.sum()
 
   vs = vec_reset_chunked(home_keys(0, num_envs), cfg)
-  jax.block_until_ready(vs)
-  vs, _ = loop(vs, jax.random.key(0))  # compile + warmup
-  jax.block_until_ready(vs)
+  float(vs.env.step.sum())          # host copy: the only reliable sync
+  vs, d0 = loop(vs, jax.random.key(0))  # compile + warmup
+  float(d0)
 
   best = 0.0
   for r in range(repeats):
     t0 = time.perf_counter()
     vs2, dones = loop(vs, jax.random.key(r + 1))
-    jax.block_until_ready((vs2, dones))
+    float(dones)  # block_until_ready returns early through the TPU tunnel;
+    #               a host copy is the only trustworthy completion barrier
     dt = time.perf_counter() - t0
     # Distrust a wedged device: every env must either have advanced by the
     # full scan or have auto-reset into a new episode (which rewinds its
