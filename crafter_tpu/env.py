@@ -205,6 +205,7 @@ class VecState:
   env: State               # every leaf batched along axis 0
   episode: jax.Array       # (N,) int32 episodes started
   home_key: jax.Array      # (N,) per-env base PRNG key
+  tick: jax.Array          # () int32 global step counter (balance cadence)
 
 
 def vec_reset(home_key: jax.Array, cfg: EnvConfig):
@@ -219,7 +220,7 @@ def vec_reset(home_key: jax.Array, cfg: EnvConfig):
   keys = jax.vmap(jax.random.fold_in)(home_key, jnp.ones((n,), jnp.uint32))
   env = jax.vmap(lambda k: worldgen.generate_world(k, cfg))(keys)
   return VecState(env=env, episode=jnp.ones((n,), jnp.int32),
-                  home_key=home_key)
+                  home_key=home_key, tick=jnp.int32(0))
 
 
 def vec_reset_chunked(home_key: jax.Array, cfg: EnvConfig,
@@ -237,7 +238,11 @@ def vec_reset_chunked(home_key: jax.Array, cfg: EnvConfig,
     return jax.jit(vec_reset, static_argnums=1)(home_key, cfg)
   reset = jax.jit(vec_reset, static_argnums=1)
   pieces = [reset(home_key[i:i + chunk], cfg) for i in range(0, n, chunk)]
-  return jax.tree.map(lambda *xs: jnp.concatenate(xs), *pieces)
+  # Scalars (the global tick) are identical across pieces; batch leaves
+  # concatenate.
+  return jax.tree.map(
+      lambda *xs: xs[0] if xs[0].ndim == 0 else jnp.concatenate(xs),
+      *pieces)
 
 
 def vec_step(vs: VecState, actions: jax.Array, cfg: EnvConfig,
@@ -250,7 +255,16 @@ def vec_step(vs: VecState, actions: jax.Array, cfg: EnvConfig,
   pre-reset batched state for terminal-step info.  Observations should be
   rendered by the caller from the post-reset ``vs.env``.
   """
-  env, out = jax.vmap(lambda s, a: step_lib.step(s, a, cfg))(vs.env, actions)
+  # Global balance cadence under a real branch: 9 of 10 ticks skip the
+  # chunk-balancing compute entirely (see step_lib.step's `balance` doc).
+  tick = vs.tick + 1
+  env, out = jax.lax.cond(
+      (tick % cfg.balance_every) == 0,
+      lambda e, a: jax.vmap(
+          lambda s, a_: step_lib.step(s, a_, cfg, balance=True))(e, a),
+      lambda e, a: jax.vmap(
+          lambda s, a_: step_lib.step(s, a_, cfg, balance=False))(e, a),
+      vs.env, actions)
   stepped_env = env
 
   r = reset_batch
@@ -267,7 +281,7 @@ def vec_step(vs: VecState, actions: jax.Array, cfg: EnvConfig,
       sub, fresh)
   env = jax.tree.map(lambda full, m: full.at[idx].set(m), env, merged)
   episode = vs.episode.at[idx].add(sel_done.astype(jnp.int32))
-  vs = VecState(env=env, episode=episode, home_key=vs.home_key)
+  vs = VecState(env=env, episode=episode, home_key=vs.home_key, tick=tick)
   return vs, out, stepped_env
 
 

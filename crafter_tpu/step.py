@@ -158,11 +158,22 @@ def _player_phase(state: State, action: jax.Array, key: jax.Array,
       jnp.where(wake, 1, 0))
 
   # The do/place target uses the facing from *before* this tick's move
-  # (objects.py:100 computes it at update start).
+  # (objects.py:100 computes it at update start).  The phase's point
+  # lookups (do/place target + move target + crafting window) share one
+  # fused material gather and one occupancy match.
   target = pos + jnp.asarray(rules.DIRS)[p.facing]
-  tmat = maps.map_gather(mat_map, target)
+  move_dir_idx = jnp.clip(action - 1, 0, 3)
+  mtarget = pos + jnp.asarray(rules.DIRS)[move_dir_idx]
+  dx, dy = jnp.meshgrid(jnp.arange(-1, 2), jnp.arange(-1, 2), indexing='ij')
+  wpos = pos + jnp.stack([dx, dy], -1)            # (3, 3, 2) make window
+  pts = jnp.concatenate([target[None], mtarget[None], pos[None],
+                         wpos.reshape(9, 2)])
+  pmat = maps.map_gather(mat_map, pts)
+  tmat, mtmat, heremat = pmat[0], pmat[1], pmat[2]
+  wmat = pmat[3:].reshape(3, 3)
   alive = ent.etype > 0
-  tobj = maps.occupant(target[None], ent.pos, alive)[0]  # slot+1, 0 empty
+  occ = maps.occupant(jnp.stack([target, mtarget]), ent.pos, alive)
+  tobj = occ[0]                                    # slot+1, 0 empty
   t_inside = _inside(target, cfg.area)
 
   is_move = (1 <= action) & (action <= 4)
@@ -172,18 +183,17 @@ def _player_phase(state: State, action: jax.Array, key: jax.Array,
   is_make = (11 <= action) & (action <= 16)
 
   # --- move (objects.py:174-179): facing set even when blocked. ----------
-  move_dir_idx = jnp.clip(action - 1, 0, 3)
   facing = jnp.where(is_move, move_dir_idx, p.facing)
-  mtarget = pos + jnp.asarray(rules.DIRS)[move_dir_idx]
   wp = jnp.asarray(t.walkable_player, jnp.int32)
   can_move = (is_move & _inside(mtarget, cfg.area)
-              & maps.table_gather(
-                  wp, maps.map_gather(mat_map, mtarget)).astype(bool)
-              & (maps.occupant(mtarget[None], ent.pos, alive)[0] == 0))
+              & maps.table_gather(wp, mtmat).astype(bool)
+              & (occ[1] == 0))
   new_pos = jnp.where(can_move, mtarget, pos)
   # obj_map is rebuilt from the entity table once per tick (see step()).
-  # Standing on lava is instant death (objects.py:178-179).
-  on_lava = is_move & (maps.map_gather(mat_map, new_pos) == rules.MAT_LAVA)
+  # Standing on lava after the move attempt is instant death
+  # (objects.py:178-179) — checked at the post-move cell either way.
+  on_lava = is_move & (jnp.where(can_move, mtmat, heremat)
+                       == rules.MAT_LAVA)
   inv = inv.at[rules.ITEM_HEALTH].set(
       jnp.where(on_lava, 0, inv[rules.ITEM_HEALTH]))
 
@@ -255,11 +265,8 @@ def _player_phase(state: State, action: jax.Array, key: jax.Array,
   # --- make (objects.py:251-261): 3×3 nearby window with the numpy
   # empty-slice quirk at the x==0 / y==0 edges (engine.py:95-103).
   midx = jnp.clip(action - 11, 0, 5)
-  dx, dy = jnp.meshgrid(jnp.arange(-1, 2), jnp.arange(-1, 2), indexing='ij')
-  wpos = pos + jnp.stack([dx, dy], -1)            # (3, 3, 2)
   wvalid = ((pos[0] >= 1) & (pos[1] >= 1)
             & (wpos[..., 0] < cfg.area[0]) & (wpos[..., 1] < cfg.area[1]))
-  wmat = maps.map_gather(mat_map, wpos)
   nearby = ((wmat[..., None] == jnp.arange(rules.N_MATERIALS))
             & wvalid[..., None]).any((0, 1))
   make_ok = (is_make
@@ -392,7 +399,12 @@ def _mob_phase(state: State, key: jax.Array, cfg: EnvConfig,
                        jnp.where(is_skel[:, None], sdir,
                                  jnp.where(is_arrow[:, None], adir, rdir)))
   target = pos + move_dir
-  tmat = maps.map_gather(mat_map, target)
+  # One fused material lookup for both point sets used this phase (move
+  # targets + potential skeleton arrow-spawn cells).
+  arrow_pos_early = pos + _toward(pos, ppos, True)
+  both_mat = maps.map_gather(
+      mat_map, jnp.concatenate([target, arrow_pos_early]))
+  tmat, arrow_mat = both_mat[:k], both_mat[k:]
   alive = et > 0
   tobj_raw = maps.occupant(target, pos, alive)
   tobj = jnp.where((tobj_raw == 0) & pending_at(target), k + 1, tobj_raw)
@@ -461,11 +473,12 @@ def _mob_phase(state: State, key: jax.Array, cfg: EnvConfig,
   et = jnp.where(removed, 0, et)
 
   # Arrow spawn feasibility (objects.py:348-351): target must be free and
-  # arrow-walkable; reload resets only when the shot happens.
+  # arrow-walkable; reload resets only when the shot happens.  (The
+  # arrow-spawn material gather shares the phase's single fused mat-map
+  # lookup below.)
   aw = jnp.asarray(t.walkable_arrow, jnp.int32)
   arrow_ok = (shoot & _inside(arrow_pos, cfg.area)
-              & maps.table_gather(
-                  aw, maps.map_gather(mat_map, arrow_pos)).astype(bool)
+              & maps.table_gather(aw, arrow_mat).astype(bool)
               & (maps.occupant(arrow_pos, npos, et > 0) == 0)
               & ~pending_at(arrow_pos))
   reload = jnp.where(arrow_ok, 4, reload)
@@ -660,8 +673,18 @@ def _spawn_phase(state: State, cfg: EnvConfig, plant_spawn, plant_pos,
 
 
 def step(state: State, action: jax.Array,
-         cfg: EnvConfig = DEFAULT_CONFIG) -> Tuple[State, StepOut]:
-  """One simulation tick (env.py:83-118).  Pure; jit/vmap/shard at will."""
+         cfg: EnvConfig = DEFAULT_CONFIG,
+         balance: bool | None = None) -> Tuple[State, StepOut]:
+  """One simulation tick (env.py:83-118).  Pure; jit/vmap/shard at will.
+
+  ``balance``: None runs chunk balancing on the reference's per-env
+  cadence (every 10th step of each env, env.py:90).  True/False force the
+  phase on/off for this tick — the batched path (env.py:vec_step) uses a
+  *global* cadence under ``lax.cond`` so 9 of 10 ticks skip the phase's
+  compute entirely; since auto-resets desynchronize env-local step counts
+  anyway, the cadence phase relative to episode start is the only
+  (distribution-neutral) difference.
+  """
   key, k_player, k_mob, k_balance = jax.random.split(state.key, 4)
   step_ = state.step + 1
   state = state.replace(step=step_, key=key)
@@ -669,11 +692,21 @@ def step(state: State, action: jax.Array,
   state, plant_spawn, plant_pos = _player_phase(state, action, k_player, cfg)
   state, arrow_req = _mob_phase(state, k_mob, cfg, plant_spawn, plant_pos)
 
-  # Chunk balancing on a fixed cadence (env.py:90).  The phase returns
-  # masked deltas (despawn slots + spawn requests) rather than a whole new
-  # state: a full-state select per tick would copy ~25 KB/env/step.
-  despawn, bal_req = _balance_phase(state, k_balance, cfg)
-  is_bal = (step_ % cfg.balance_every) == 0
+  # Chunk balancing (env.py:90).  The phase returns masked deltas (despawn
+  # slots + spawn requests) rather than a whole new state: a full-state
+  # select per tick would copy ~25 KB/env/step.
+  if balance is False:
+    n_bal = 3 * cfg.n_chunks[0] * cfg.n_chunks[1]
+    despawn = dict(valid=jnp.zeros((n_bal,), bool),
+                   slot=jnp.full((n_bal,), -1, jnp.int32))
+    bal_req = dict(valid=jnp.zeros((n_bal,), bool),
+                   pos=jnp.zeros((n_bal, 2), jnp.int32),
+                   etype=jnp.zeros((n_bal,), jnp.int32))
+    is_bal = jnp.asarray(False)
+  else:
+    despawn, bal_req = _balance_phase(state, k_balance, cfg)
+    is_bal = (jnp.asarray(True) if balance
+              else (step_ % cfg.balance_every) == 0)
   vok = is_bal & despawn['valid']
   vslot = despawn['slot']
   state = state.replace(

@@ -122,3 +122,16 @@ class TestVecEnv:
     obs, reward, done, info = env.step(np.asarray([0, 1, 2, 3]))
     assert reward.shape == (4,)
     assert info['semantic'].shape == (4, 64, 64)
+
+
+class TestGymnasiumAdapter:
+  def test_registered_env_five_tuple(self):
+    import gymnasium
+    import crafter_tpu
+    crafter_tpu.register_gym_envs()
+    env = gymnasium.make('CrafterNoReward-v1')
+    obs, info = env.reset(seed=3)
+    assert obs.shape == (64, 64, 3)
+    obs, reward, terminated, truncated, info = env.step(0)
+    assert reward == 0.0 and not terminated
+    assert 'semantic' in info
