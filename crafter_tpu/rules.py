@@ -318,3 +318,21 @@ def compile_rules(rules: dict | None = None) -> RuleTables:
 
 
 TABLES = compile_rules()
+
+
+def override_rules(mutate) -> RuleTables:
+  """Swap the module-level tables with a mutated ruleset.
+
+  The reference customizes rules by mutating ``crafter.constants`` globals
+  before constructing envs (run_gui.py:55-56, run_random.py:21-22); the
+  TPU equivalent mutates the rule *data* and recompiles the dense tables.
+  Call before the first jit trace (tables are baked in as constants):
+
+      rules.override_rules(lambda r: r['items']['health'].update(
+          max=5, initial=5))
+  """
+  global TABLES
+  data = default_rules()
+  mutate(data)
+  TABLES = compile_rules(data)
+  return TABLES

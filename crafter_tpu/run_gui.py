@@ -34,6 +34,7 @@ def main():
   parser.add_argument('--area', nargs=2, type=int, default=(64, 64))
   parser.add_argument('--view', type=int, nargs=2, default=(9, 9))
   parser.add_argument('--length', type=int, default=None)
+  parser.add_argument('--health', type=int, default=9)
   parser.add_argument('--window', type=int, nargs=2, default=(600, 600))
   parser.add_argument('--size', type=int, nargs=2, default=(0, 0))
   parser.add_argument('--record', type=str, default=None)
@@ -51,6 +52,10 @@ def main():
 
   import crafter_tpu
   from crafter_tpu import rules
+
+  if args.health != 9:  # run_gui.py:55-56 health override
+    rules.override_rules(lambda r: r['items']['health'].update(
+        max=args.health, initial=args.health))
 
   keymap = {pygame.key.key_code(name): action
             for name, action in KEYMAP_NAMES.items()}

@@ -33,6 +33,11 @@ def main():
   args = parser.parse_args()
 
   import crafter_tpu
+  from crafter_tpu import rules
+
+  if args.health != 9:  # run_random.py:21-22 health override
+    rules.override_rules(lambda r: r['items']['health'].update(
+        max=args.health, initial=args.health))
 
   if args.envs:
     from crafter_tpu.env import VecEnv

@@ -97,15 +97,6 @@ def _walk_table() -> np.ndarray:
   return table
 
 
-def _at(grid: jax.Array, pos: jax.Array, fill=0) -> jax.Array:
-  """Bounds-checked gather: grid[pos] or `fill` outside (engine.py:88-93)."""
-  w, h = grid.shape
-  x, y = pos[..., 0], pos[..., 1]
-  inside = (0 <= x) & (x < w) & (0 <= y) & (y < h)
-  val = grid[jnp.clip(x, 0, w - 1), jnp.clip(y, 0, h - 1)]
-  return jnp.where(inside, val, fill)
-
-
 def _inside(pos: jax.Array, area: Tuple[int, int]) -> jax.Array:
   x, y = pos[..., 0], pos[..., 1]
   return (0 <= x) & (x < area[0]) & (0 <= y) & (y < area[1])

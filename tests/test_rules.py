@@ -103,3 +103,15 @@ def test_action_order_matches_place_make_tables():
     assert rules.ACTION_ID[f'place_{name}'] == 7 + i
   for i, name in enumerate(rules.MAKE_NAMES):
     assert rules.ACTION_ID[f'make_{name}'] == 11 + i
+
+
+def test_override_rules_roundtrip():
+  from crafter_tpu import rules
+  try:
+    t = rules.override_rules(lambda r: r['items']['health'].update(
+        max=5, initial=5))
+    assert t.item_max[rules.ITEM_HEALTH] == 5
+    assert rules.TABLES.item_initial[rules.ITEM_HEALTH] == 5
+  finally:
+    rules.override_rules(lambda r: None)
+  assert rules.TABLES.item_max[rules.ITEM_HEALTH] == 9
