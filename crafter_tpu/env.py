@@ -35,7 +35,7 @@ from . import state as state_lib
 from . import step as step_lib
 from . import worldgen
 from .config import DEFAULT_CONFIG, EnvConfig
-from .state import State
+from .state import Entities, Player, State
 
 try:  # Mirror the reference's optional gym dependency (env.py:11-22).
   import gymnasium as _gym
@@ -268,19 +268,71 @@ def vec_step(vs: VecState, actions: jax.Array, cfg: EnvConfig,
   stepped_env = env
 
   r = reset_batch
-  _, idx = jax.lax.top_k(out.done.astype(jnp.int32), r)  # stable by index
-  sel_done = out.done[idx]
-  ep_sel = vs.episode[idx] + 1
-  keys = jax.vmap(jax.random.fold_in)(vs.home_key[idx],
-                                      ep_sel.astype(jnp.uint32))
-  fresh = jax.vmap(lambda k: worldgen.generate_world(k, cfg))(keys)
-  sub = jax.tree.map(lambda leaf: leaf[idx], env)
-  merged = jax.tree.map(
-      lambda old, new: jnp.where(
-          sel_done.reshape((r,) + (1,) * (old.ndim - 1)), new, old),
-      sub, fresh)
-  env = jax.tree.map(lambda full, m: full.at[idx].set(m), env, merged)
-  episode = vs.episode.at[idx].add(sel_done.astype(jnp.int32))
+  n = out.done.shape[0]
+  done = out.done
+  # The first r finished envs reset this step (overflow waits one step).
+  rank = jnp.cumsum(done) - 1
+  selected = done & (rank < r)
+  _, idx = jax.lax.top_k(done.astype(jnp.int32), r)  # stable by index
+  sel_done = done[idx]
+  ep_next = vs.episode + 1
+  gen_keys = jax.vmap(jax.random.fold_in)(
+      vs.home_key[idx], ep_next[idx].astype(jnp.uint32))
+  fresh = jax.vmap(lambda k: worldgen.generate_world(k, cfg))(gen_keys)
+
+  # Merge the r fresh worlds back with one-hot row matmuls: dynamic-index
+  # row gathers/scatters serialize on TPU (~16 ms per reset), a (N, r)
+  # contraction is a real MXU matmul.  Array leaves merge via the matmul;
+  # per-env scalar leaves have closed-form fresh values (constants or
+  # fold_in chains), computed for all N envs and selected elementwise.
+  p_rows = ((idx[:, None] == jnp.arange(n)) & sel_done[:, None])
+  keep = ~selected
+
+  def rows_merge(old, new, precise=False):
+    dt = jnp.float32 if precise else jnp.bfloat16
+    scat = (p_rows.astype(dt).T @ new.reshape(r, -1).astype(dt)
+            ).reshape(old.shape).astype(jnp.float32)
+    keepb = keep.reshape((n,) + (1,) * (old.ndim - 1))
+    return jnp.where(keepb, old, scat.astype(old.dtype))
+
+  tables = rules.TABLES
+  init_inv = jnp.asarray(tables.item_initial, jnp.int32)
+  init_hp = jnp.int32(tables.item_initial[rules.ITEM_HEALTH])
+  sel = lambda const, old: jnp.where(
+      selected.reshape((n,) + (1,) * (old.ndim - 1)), const, old)
+  # Worldgen derives the env PRNG stream from its input key
+  # (worldgen.py:generate_world's fold_in tag) — reproduce it closed-form.
+  fresh_keys = jax.vmap(lambda hk, ep: jax.random.fold_in(
+      jax.random.fold_in(hk, ep), 0x5eed))(
+          vs.home_key, ep_next.astype(jnp.uint32))
+  env = State(
+      mat_map=rows_merge(env.mat_map, fresh.mat_map),
+      obj_map=rows_merge(env.obj_map, fresh.obj_map),
+      ent=Entities(
+          etype=rows_merge(env.ent.etype, fresh.ent.etype),
+          pos=rows_merge(env.ent.pos, fresh.ent.pos),
+          health=rows_merge(env.ent.health, fresh.ent.health),
+          aux=sel(0, env.ent.aux),
+          facing=sel(0, env.ent.facing)),
+      player=Player(
+          facing=sel(rules.DIR_DOWN, env.player.facing),
+          inventory=sel(init_inv[None], env.player.inventory),
+          achievements=sel(0, env.player.achievements),
+          sleeping=sel(False, env.player.sleeping),
+          hunger=sel(0, env.player.hunger),
+          thirst=sel(0, env.player.thirst),
+          fatigue=sel(0, env.player.fatigue),
+          recover=sel(0, env.player.recover),
+          last_health=sel(init_hp, env.player.last_health)),
+      step=sel(0, env.step),
+      key=jax.random.wrap_key_data(jnp.where(
+          selected[:, None], jax.random.key_data(fresh_keys),
+          jax.random.key_data(env.key))),
+      unlocked=sel(False, env.unlocked),
+      env_last_health=sel(init_hp, env.env_last_health),
+      chunk_touched=rows_merge(env.chunk_touched, fresh.chunk_touched))
+
+  episode = jnp.where(selected, ep_next, vs.episode)
   vs = VecState(env=env, episode=episode, home_key=vs.home_key, tick=tick)
   return vs, out, stepped_env
 
