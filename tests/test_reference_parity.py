@@ -149,3 +149,76 @@ class TestRandomPolicyDynamics:
 
   def test_health_distribution(self, ref_stats, tpu_stats):
     assert abs(ref_stats['mean_hp'] - tpu_stats['mean_hp']) <= 3.0
+
+
+class TestBalanceDynamics:
+  """Chunk-balancing population dynamics over night cycles (env.py:141-179).
+
+  Mob populations after 350 steps (through the first night) are driven
+  almost entirely by the daylight-dependent spawn/despawn targets; both
+  engines must land in the same range.
+  """
+
+  HORIZON2 = 350
+
+  @pytest.fixture(scope='class')
+  def ref_pops(self):
+    import crafter
+    zombies, cows, skeletons = [], [], []
+    for seed in range(4):
+      env = crafter.Env(seed=seed)
+      env.reset()
+      rng = np.random.RandomState(100 + seed)
+      for t in range(self.HORIZON2):
+        _, _, done, _ = env.step(int(rng.randint(17)))
+        if done:
+          break
+      objs = env._world.objects
+      import crafter.objects as o
+      zombies.append(sum(isinstance(x, o.Zombie) for x in objs))
+      cows.append(sum(isinstance(x, o.Cow) for x in objs))
+      skeletons.append(sum(isinstance(x, o.Skeleton) for x in objs))
+    return dict(z=np.mean(zombies), c=np.mean(cows), s=np.mean(skeletons))
+
+  @pytest.fixture(scope='class')
+  def tpu_pops(self):
+    import jax
+    import jax.numpy as jnp
+    from crafter_tpu.config import EnvConfig
+    from crafter_tpu.env import home_keys, vec_reset
+    from crafter_tpu import step as step_lib, rules
+    cfg = EnvConfig()
+    n = 8
+    vs = jax.jit(lambda: vec_reset(home_keys(55, n), cfg))()
+
+    @jax.jit
+    def run(env_state, key):
+      def body(carry, _):
+        st, key = carry
+        key, k = jax.random.split(key)
+        a = jax.random.randint(k, (n,), 0, 17)
+        st, out = jax.vmap(lambda s, a_: step_lib.step(s, a_, cfg))(st, a)
+        return (st, key), None
+      (st, _), _ = jax.lax.scan(body, (env_state, key), None,
+                                length=TestBalanceDynamics.HORIZON2)
+      return st
+
+    st = run(vs.env, jax.random.key(9))
+    et = np.asarray(st.ent.etype)
+    return dict(z=(et == rules.E_ZOMBIE).sum(1).mean(),
+                c=(et == rules.E_COW).sum(1).mean(),
+                s=(et == rules.E_SKELETON).sum(1).mean())
+
+  def test_zombie_population(self, ref_pops, tpu_pops):
+    # Post-night populations are dominated by balancing, high variance
+    # across worlds — require the same ballpark.
+    assert abs(ref_pops['z'] - tpu_pops['z']) <= max(
+        0.8 * ref_pops['z'], 8), (ref_pops, tpu_pops)
+
+  def test_cow_population(self, ref_pops, tpu_pops):
+    assert abs(ref_pops['c'] - tpu_pops['c']) <= max(
+        0.8 * ref_pops['c'], 8), (ref_pops, tpu_pops)
+
+  def test_skeleton_population(self, ref_pops, tpu_pops):
+    assert abs(ref_pops['s'] - tpu_pops['s']) <= max(
+        0.8 * ref_pops['s'], 8), (ref_pops, tpu_pops)
