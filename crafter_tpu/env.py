@@ -363,6 +363,13 @@ class VecEnv:
     self._observe = jax.jit(jax.vmap(self.core.observe))
     self._step = jax.jit(self._step_impl, donate_argnums=(0,))
     self.state: Optional[VecState] = None
+    # RL-library conveniences (mirror the single-env spaces).
+    self.single_observation_space = BoxSpace(
+        0, 255, tuple(cfg.size) + (3,), np.uint8)
+    self.single_action_space = DiscreteSpace(rules.N_ACTIONS)
+    self.observation_space = self.single_observation_space
+    self.action_space = self.single_action_space
+    self.action_names = list(rules.ACTIONS)
 
   def _reset_all(self, home):
     vs = vec_reset_chunked(home, self.cfg)

@@ -18,3 +18,7 @@ if '--xla_force_host_platform_device_count' not in flags:
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
+# Persistent compilation cache: the big jitted programs (vec_step variants,
+# PPO update) dominate suite wall-time; repeated runs hit the cache.
+jax.config.update('jax_compilation_cache_dir', '/tmp/jax_compile_cache_cpu')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)

@@ -135,3 +135,20 @@ class TestGymnasiumAdapter:
     obs, reward, terminated, truncated, info = env.step(0)
     assert reward == 0.0 and not terminated
     assert 'semantic' in info
+
+
+class TestVecEnvSpaces:
+  def test_spaces_exposed(self):
+    env = VecEnv(num_envs=2, seed=0)
+    assert env.single_action_space.n == 17
+    assert env.single_observation_space.shape == (64, 64, 3)
+    assert env.action_names[5] == 'do'
+
+
+def test_run_gui_importable_and_keymap():
+  import pygame
+  from crafter_tpu import run_gui
+  keymap = {pygame.key.key_code(k): v
+            for k, v in run_gui.KEYMAP_NAMES.items()}
+  assert len(keymap) == 16  # all actions except noop
+  assert keymap[pygame.K_SPACE] == 'do'

@@ -20,7 +20,7 @@ import refshim
 HAVE_REF = refshim.install()
 pytestmark = pytest.mark.skipif(not HAVE_REF, reason='no reference checkout')
 
-N_WORLDS = 12
+N_WORLDS = 8
 HORIZON = 100
 
 
@@ -159,20 +159,21 @@ class TestBalanceDynamics:
   engines must land in the same range.
   """
 
-  HORIZON2 = 350
+  HORIZON2 = 250
 
   @pytest.fixture(scope='class')
   def ref_pops(self):
     import crafter
     zombies, cows, skeletons = [], [], []
-    for seed in range(4):
+    for seed in range(3):
       env = crafter.Env(seed=seed)
       env.reset()
       rng = np.random.RandomState(100 + seed)
       for t in range(self.HORIZON2):
-        _, _, done, _ = env.step(int(rng.randint(17)))
-        if done:
-          break
+        # Keep stepping past player death: the batched engine also steps
+        # dead envs until their auto-reset, and mob balancing continues
+        # either way (env.py:90-95 does not gate on the player living).
+        env.step(int(rng.randint(17)))
       objs = env._world.objects
       import crafter.objects as o
       zombies.append(sum(isinstance(x, o.Zombie) for x in objs))
