@@ -32,8 +32,10 @@ class EnvConfig:
   day_length: int = 300                # daylight period (env.py:135-139)
   balance_every: int = 10              # chunk-balance cadence (env.py:90)
   # Worldgen noise gradient hash: 'fast' = arithmetic mix (pure VPU, no
-  # table gathers — the TPU default), 'compat' = the original OpenSimplex
-  # 256-entry permutation table (ops/noise.py).  Distribution-equivalent.
+  # table gathers — the TPU default), 'pallas' = the same arithmetic fused
+  # into one Pallas kernel (bit-agrees with 'fast'; 11x faster standalone,
+  # ops/noise_pallas.py), 'compat' = the original OpenSimplex 256-entry
+  # permutation table (ops/noise.py).  All distribution-equivalent.
   noise_mode: str = 'fast'
 
   @property

@@ -59,6 +59,9 @@ def _noise_channels(xy: jax.Array, perm: jax.Array,
   ])  # (13, W, H, 3)
   if mode == 'fast':
     n = noise.noise3_fast(points, perm)  # (13, W, H)
+  elif mode == 'pallas':
+    from .ops.noise_pallas import noise3_pallas
+    n = noise3_pallas(points, perm)
   else:
     n = noise.noise3(points, perm)
   return dict(
@@ -77,7 +80,7 @@ def generate_world(key: jax.Array, cfg: EnvConfig) -> state_lib.State:
   tables = rules.TABLES
 
   k_perm, k_mat, k_obj = jax.random.split(key, 3)
-  if cfg.noise_mode == 'fast':
+  if cfg.noise_mode in ('fast', 'pallas'):
     perm = jax.random.randint(k_perm, (), 0, 2 ** 31 - 1)  # int seed
   else:
     perm = noise.perm_from_key(k_perm)

@@ -152,3 +152,21 @@ def test_fast_noise_smoothness():
   steps = np.abs(np.diff(v))
   assert steps.max() < 0.05  # no jumps along a dense path
   assert v.std() > 0.05      # but the field does vary
+
+
+def test_pallas_noise_matches_fast():
+  """The Pallas kernel runs the same arithmetic as noise3_fast."""
+  import jax
+  import jax.numpy as jnp
+  from crafter_tpu.ops import noise
+  from crafter_tpu.ops.noise_pallas import noise3_pallas
+  pts = jax.random.uniform(jax.random.key(2), (5000, 3)) * 30
+  want = np.asarray(jax.jit(noise.noise3_fast)(pts, jnp.int32(77)))
+  got = np.asarray(noise3_pallas(pts, jnp.int32(77), interpret=True))
+  assert np.abs(got - want).max() < 1e-5
+  # Odd shapes pad correctly.
+  pts2 = pts[:333].reshape(3, 111, 3)
+  got2 = np.asarray(noise3_pallas(pts2, jnp.int32(77), interpret=True))
+  want2 = np.asarray(jax.jit(noise.noise3_fast)(pts2, jnp.int32(77)))
+  assert got2.shape == (3, 111)
+  assert np.abs(got2 - want2).max() < 1e-5

@@ -127,3 +127,16 @@ def test_semantic_view(world):
   for slot in np.nonzero(et > 0)[0]:
     assert sem[pos[slot, 0], pos[slot, 1]] == rules.N_MATERIALS + et[slot] - 1
   assert (sem[np.asarray(world.obj_map) == 0] < rules.N_MATERIALS).all()
+
+
+def test_pallas_noise_mode_matches_fast():
+  """noise_mode='pallas' produces the same worlds as 'fast' (bit-level
+  noise agreement; interpret mode on CPU)."""
+  import dataclasses
+  from crafter_tpu.config import EnvConfig
+  fast = jax.jit(worldgen.generate_world, static_argnums=1)(
+      jax.random.key(3), EnvConfig(noise_mode='fast'))
+  pal = jax.jit(worldgen.generate_world, static_argnums=1)(
+      jax.random.key(3), EnvConfig(noise_mode='pallas'))
+  mism = (np.asarray(fast.mat_map) != np.asarray(pal.mat_map)).mean()
+  assert mism < 1e-3, mism  # float-threshold residue only
