@@ -38,6 +38,15 @@ class EnvConfig:
   # permutation table (ops/noise.py).  All distribution-equivalent.
   noise_mode: str = 'fast'
 
+  def __post_init__(self):
+    # The one-hot map/table primitives run in bfloat16, which is exact only
+    # for integers <= 256; entity slot ids (slot + 1) must stay inside that
+    # range or gathers silently round (ops/maps.py module docstring).
+    if self.max_entities > 256:
+      raise ValueError(
+          f'max_entities={self.max_entities} > 256 would overflow the '
+          'bf16-exact integer range used by the one-hot map primitives')
+
   @property
   def item_rows(self) -> int:
     # env.py:42: rows of the inventory strip under the local view.

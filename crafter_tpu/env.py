@@ -206,6 +206,10 @@ class VecState:
   episode: jax.Array       # (N,) int32 episodes started
   home_key: jax.Array      # (N,) per-env base PRNG key
   tick: jax.Array          # () int32 global step counter (balance cadence)
+  pending: jax.Array       # (N,) bool — finished but not yet reset (latch:
+  #                          a dead env stepped again can regen above 0 hp
+  #                          and flip done back off; the latch keeps it
+  #                          scheduled for reset regardless)
 
 
 def vec_reset(home_key: jax.Array, cfg: EnvConfig):
@@ -220,7 +224,8 @@ def vec_reset(home_key: jax.Array, cfg: EnvConfig):
   keys = jax.vmap(jax.random.fold_in)(home_key, jnp.ones((n,), jnp.uint32))
   env = jax.vmap(lambda k: worldgen.generate_world(k, cfg))(keys)
   return VecState(env=env, episode=jnp.ones((n,), jnp.int32),
-                  home_key=home_key, tick=jnp.int32(0))
+                  home_key=home_key, tick=jnp.int32(0),
+                  pending=jnp.zeros((n,), bool))
 
 
 def vec_reset_chunked(home_key: jax.Array, cfg: EnvConfig,
@@ -269,7 +274,11 @@ def vec_step(vs: VecState, actions: jax.Array, cfg: EnvConfig,
 
   r = reset_batch
   n = out.done.shape[0]
-  done = out.done
+  # Envs latched pending from an earlier overflow count as done whether or
+  # not this tick's dynamics still agree (a dead env stepped again can
+  # cross the regen threshold and report alive; it must reset regardless).
+  done = out.done | vs.pending
+  out = out.replace(done=done)
   # The first r finished envs reset this step (overflow waits one step).
   rank = jnp.cumsum(done) - 1
   selected = done & (rank < r)
@@ -333,7 +342,8 @@ def vec_step(vs: VecState, actions: jax.Array, cfg: EnvConfig,
       chunk_touched=rows_merge(env.chunk_touched, fresh.chunk_touched))
 
   episode = jnp.where(selected, ep_next, vs.episode)
-  vs = VecState(env=env, episode=episode, home_key=vs.home_key, tick=tick)
+  vs = VecState(env=env, episode=episode, home_key=vs.home_key, tick=tick,
+                pending=done & ~selected)
   return vs, out, stepped_env
 
 

@@ -195,6 +195,32 @@ def print_spectrum(inpaths, legend=None, budget=1e6, sort=False):
   return out
 
 
+def print_reward(inpaths, legend=None, budget=1e6, last=1e5):
+  """Final-reward table (print_reward.py:6-31).
+
+  Per method and seed, the reported reward is the episode reward at the
+  start of the final ``last`` env steps of the budget; rows are printed as
+  LaTeX table lines like the reference (the output format is the spec).
+  """
+  runs = analysis.load_runs(inpaths, budget)
+  legend = _legend(runs, legend)
+  per_method = {}
+  for run in runs:
+    xs, ys = np.asarray(run['xs']), np.asarray(run['reward'])
+    in_window = int((xs >= xs.max() - last).sum())
+    per_method.setdefault(run['method'], []).append(ys[-in_window])
+  lines = ['', r'\textbf{Method} & \textbf{Reward} \\', '']
+  for method, label in legend.items():
+    vals = np.asarray(per_method.get(method, [np.nan]), np.float64)
+    mean = f'{np.nanmean(vals):.1f}'
+    pad = r'\o' if len(mean) < 4 else ' '
+    lines.append(rf'{label:<25} & ${pad}{mean} \pm {np.nanstd(vals):4.1f}$ \\')
+  lines.append('')
+  out = '\n'.join(lines)
+  print(out)
+  return out
+
+
 def main():
   parser = argparse.ArgumentParser()
   parser.add_argument('kind', choices=[
@@ -215,6 +241,7 @@ def main():
     print_scores(args.inpaths, budget=args.budget)
     print()
     print_spectrum(args.inpaths, budget=args.budget)
+    print_reward(args.inpaths, budget=args.budget)
   if args.kind != 'tables':
     print('Saved', args.outpath)
 

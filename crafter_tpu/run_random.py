@@ -26,6 +26,9 @@ def main():
   parser.add_argument('--health', type=int, default=9)
   parser.add_argument('--size', nargs=2, type=int, default=(64, 64))
   parser.add_argument('--steps', type=int, default=1000)
+  parser.add_argument('--record', type=str, default=None,
+                      help='record stats/video/episodes to this directory '
+                           '(reference run_random.py:16,24)')
   parser.add_argument('--envs', type=int, default=0,
                       help='if >0, run the batched VecEnv instead')
   parser.add_argument('--profile', type=str, default=None,
@@ -65,6 +68,9 @@ def main():
   env = crafter_tpu.Env(
       area=args.area, view=args.view, length=args.length, seed=args.seed,
       size=args.size)
+  if args.record:
+    from crafter_tpu.recorder import Recorder
+    env = Recorder(env, args.record)
   start = time.time()
   env.reset()
   print(f'Reset time: {1e3 * (time.time() - start):.2f}ms')

@@ -441,9 +441,12 @@ def _mob_phase(state: State, key: jax.Array, cfg: EnvConfig,
       k, jnp.where(a_hit & (tobj <= k), tobj - 1, -1), 2)
   player_arrow_dmg = dmg[0]
   hp = jnp.maximum(0, hp - jnp.where(slots == 0, 0, dmg))
-  # Arrows destroy tables/furnaces into path (objects.py:380-382).
+  # Arrows destroy tables/furnaces into path (objects.py:380-382).  Two
+  # arrows blocked by the same cell in one tick must not both scatter
+  # (map_scatter sums duplicate one-hot rows) — claim the cell first.
   smash = a_block & ((tmat == rules.MAT_TABLE)
                      | (tmat == rules.MAT_FURNACE))
+  smash = maps.claim_lowest(target, smash)
   mat_map = maps.map_scatter(mat_map, target, rules.MAT_PATH, smash)
 
   # --- plants (objects.py:405-411): grow, take damage from adjacent mobs.
@@ -686,24 +689,32 @@ def step(state: State, action: jax.Array,
   # Chunk balancing (env.py:90).  The phase returns masked deltas (despawn
   # slots + spawn requests) rather than a whole new state: a full-state
   # select per tick would copy ~25 KB/env/step.
+  n_bal = 3 * cfg.n_chunks[0] * cfg.n_chunks[1]
+
+  def _no_balance(state, key):
+    del state, key
+    return (dict(valid=jnp.zeros((n_bal,), bool),
+                 slot=jnp.full((n_bal,), -1, jnp.int32)),
+            dict(valid=jnp.zeros((n_bal,), bool),
+                 pos=jnp.zeros((n_bal, 2), jnp.int32),
+                 etype=jnp.zeros((n_bal,), jnp.int32)))
+
   if balance is False:
-    n_bal = 3 * cfg.n_chunks[0] * cfg.n_chunks[1]
-    despawn = dict(valid=jnp.zeros((n_bal,), bool),
-                   slot=jnp.full((n_bal,), -1, jnp.int32))
-    bal_req = dict(valid=jnp.zeros((n_bal,), bool),
-                   pos=jnp.zeros((n_bal, 2), jnp.int32),
-                   etype=jnp.zeros((n_bal,), jnp.int32))
-    is_bal = jnp.asarray(False)
-  else:
+    despawn, bal_req = _no_balance(state, k_balance)
+  elif balance is True:
     despawn, bal_req = _balance_phase(state, k_balance, cfg)
-    is_bal = (jnp.asarray(True) if balance
-              else (step_ % cfg.balance_every) == 0)
-  vok = is_bal & despawn['valid']
+  else:
+    # Per-env cadence (env.py:90) under a real branch: 9 of 10 ticks skip
+    # the phase's compute entirely, for the single-env path too.
+    despawn, bal_req = jax.lax.cond(
+        (step_ % cfg.balance_every) == 0,
+        lambda s, k: _balance_phase(s, k, cfg), _no_balance,
+        state, k_balance)
+  vok = despawn['valid']
   vslot = despawn['slot']
   state = state.replace(
       ent=state.ent.replace(
           etype=maps.table_scatter_set(state.ent.etype, vslot, 0, vok)))
-  bal_req = dict(bal_req, valid=bal_req['valid'] & is_bal)
 
   state = _spawn_phase(state, cfg, plant_spawn, plant_pos, arrow_req,
                        bal_req)

@@ -170,3 +170,34 @@ def test_pallas_noise_matches_fast():
   want2 = np.asarray(jax.jit(noise.noise3_fast)(pts2, jnp.int32(77)))
   assert got2.shape == (3, 111)
   assert np.abs(got2 - want2).max() < 1e-5
+
+
+def test_against_real_opensimplex_package():
+  """Non-circular oracle: compare against the actual PyPI ``opensimplex``.
+
+  The in-repo shim (tests/refshim/opensimplex.py) and the brute-force sweep
+  above both assume the "sum every positive-attenuation candidate vertex"
+  reformulation of Kurt Spencer's walk; a shared deviation from the real
+  package would be invisible to them (ADVICE.md r1).  This test closes that
+  hole whenever the true dependency is installable; the sandbox has no
+  network, so it is expected to skip here and run wherever it can.
+  """
+  real = pytest.importorskip(
+      'opensimplex', reason='real opensimplex package not installed')
+  assert 'refshim' not in (getattr(real, '__file__', '') or ''), \
+      'refshim must not shadow the real package for this test'
+  import importlib.util
+  import pathlib
+  spec = importlib.util.spec_from_file_location(
+      'opensimplex_shim',
+      pathlib.Path(__file__).parent / 'refshim' / 'opensimplex.py')
+  shim = importlib.util.module_from_spec(spec)
+  spec.loader.exec_module(shim)
+  rng = np.random.default_rng(0)
+  for seed in (0, 1, 123456789, 2 ** 31 - 1):
+    a = real.OpenSimplex(seed)
+    b = shim.OpenSimplex(seed)
+    pts = rng.uniform(-50, 50, (500, 3))
+    va = np.array([a.noise3(*p) for p in pts])
+    vb = np.array([b.noise3(*p) for p in pts])
+    np.testing.assert_allclose(va, vb, rtol=0, atol=1e-12)
