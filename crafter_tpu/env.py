@@ -35,7 +35,7 @@ from . import state as state_lib
 from . import step as step_lib
 from . import worldgen
 from .config import DEFAULT_CONFIG, EnvConfig
-from .state import Entities, Player, State
+from .state import EntMaps, Player, State
 
 try:  # Mirror the reference's optional gym dependency (env.py:11-22).
   import gymnasium as _gym
@@ -82,7 +82,7 @@ class CrafterEnv:
         achievements=state.player.achievements,
         discount=1.0 - out.dead.astype(jnp.float32),
         semantic=state_lib.semantic_view(state, self.cfg).astype(jnp.uint8),
-        player_pos=state.ent.pos[0],
+        player_pos=state.player.pos,
         reward=out.reward)
 
 
@@ -316,14 +316,13 @@ def vec_step(vs: VecState, actions: jax.Array, cfg: EnvConfig,
           vs.home_key, ep_next.astype(jnp.uint32))
   env = State(
       mat_map=rows_merge(env.mat_map, fresh.mat_map),
-      obj_map=rows_merge(env.obj_map, fresh.obj_map),
-      ent=Entities(
+      ent=EntMaps(
           etype=rows_merge(env.ent.etype, fresh.ent.etype),
-          pos=rows_merge(env.ent.pos, fresh.ent.pos),
           health=rows_merge(env.ent.health, fresh.ent.health),
           aux=sel(0, env.ent.aux),
           facing=sel(0, env.ent.facing)),
       player=Player(
+          pos=sel(jnp.asarray(cfg.center, jnp.int32)[None], env.player.pos),
           facing=sel(rules.DIR_DOWN, env.player.facing),
           inventory=sel(init_inv[None], env.player.inventory),
           achievements=sel(0, env.player.achievements),

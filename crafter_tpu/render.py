@@ -197,7 +197,7 @@ def render(state: State, cfg: EnvConfig, atlas: Atlas,
   gw, gh = cfg.local_grid
   item_rows = cfg.item_rows
   ux, uy = size[0] // cfg.view[0], size[1] // cfg.view[1]
-  ppos = state.ent.pos[0]
+  ppos = state.player.pos
   sleeping = state.player.sleeping
 
   # --- local view: material layer (engine.py:165-175) --------------------
@@ -212,25 +212,25 @@ def render(state: State, cfg: EnvConfig, atlas: Atlas,
   mids = jnp.where(inside, state.mat_map[cx, cy].astype(jnp.int32), GRAY_ID)
   tiles = _table_lookup(atlas.mat, mids)                    # (gw,gh,ux,uy,3)
 
-  # --- entity overlay (engine.py:176-181): cell-unique, so a gather of the
-  # occupant's sprite per tile replaces the reference's per-object blits.
-  slot_grid = jnp.where(inside, state.obj_map[cx, cy], 0)
-  et, aux = state.ent.etype, state.ent.aux
-  texid_slot = jnp.where(
+  # --- entity overlay (engine.py:176-181): entities live in the grid, so
+  # the occupant's sprite id is a per-tile select over the channel windows,
+  # replacing the reference's per-object blits.
+  et = jnp.where(inside, state.ent.etype[cx, cy].astype(jnp.int32), 0)
+  aux = jnp.where(inside, state.ent.aux[cx, cy].astype(jnp.int32), 0)
+  fac = jnp.where(inside, state.ent.facing[cx, cy].astype(jnp.int32), 0)
+  texid_grid = jnp.where(
       et == rules.E_PLAYER,
       jnp.where(sleeping, TEX_PLAYER_SLEEP, TEX_PLAYER + state.player.facing),
       jnp.where(et == rules.E_COW, TEX_COW,
                 jnp.where(et == rules.E_ZOMBIE, TEX_ZOMBIE,
                           jnp.where(et == rules.E_SKELETON, TEX_SKELETON,
                                     jnp.where(et == rules.E_ARROW,
-                                              TEX_ARROW + state.ent.facing,
+                                              TEX_ARROW + fac,
                                               jnp.where(et == rules.E_PLANT,
                                                         jnp.where(aux > 300,
                                                                   TEX_PLANT_RIPE,
                                                                   TEX_PLANT),
                                                         TEX_NONE))))))
-  texid_grid = jnp.concatenate(
-      [jnp.zeros((1,), jnp.int32), texid_slot])[slot_grid]
   sprite = _table_lookup(atlas.ent, texid_grid)             # (gw,gh,ux,uy,4)
   alpha = sprite[..., 3:] / 255.0
   blended = alpha * (sprite[..., :3] / 255.0) + (1 - alpha) * (tiles / 255.0)

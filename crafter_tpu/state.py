@@ -1,23 +1,38 @@
-"""The batched world state pytree.
+"""The batched world state pytree — entities live *in the grid*.
 
 The reference scatters its state across an object graph — a ``World`` with a
 mutable object list plus per-object Python attributes
-(reference: crafter/engine.py:24-117, crafter/objects.py).  Here the entire
-simulation state of one environment is a flat pytree of fixed-shape arrays,
-so thousands of worlds step in lockstep under ``vmap``/``jit`` and shard
-across a device mesh:
+(reference: crafter/engine.py:24-117, crafter/objects.py).  Round 1 replaced
+that with a fixed-capacity structure-of-arrays entity table, but per-entity
+point lookups (one-hot contractions over the 64×64 grid) still dominated the
+tick.  This round the entity table is gone entirely: every entity attribute
+is a *per-cell channel map*, so the whole simulation becomes shifts and
+elementwise selects over ``(W, H)`` planes — the cellular-automaton
+formulation the TPU's VPU was built for.  No gathers, no scatters, no
+conflict matrices; thousands of envs step in lockstep under ``vmap``/``jit``
+and the tick fuses into a handful of XLA kernels.
 
-* ``mat_map``   — the 64×64 material grid     (engine.py:38 `_mat_map`)
-* ``obj_map``   — cell → entity slot + 1      (engine.py:39 `_obj_map`)
-* entity SoA    — fixed-capacity table replacing the unbounded object list
-                  (engine.py:37 `_objects`); slot 0 is always the player
-* player record — inventory/achievements/life counters
-                  (objects.py:70-82)
-* scalars       — step counter, PRNG key, reward bookkeeping
+State of one environment:
 
-Fractional life counters (hunger/thirst/fatigue/recover change by ±0.5,
-objects.py:133-167) are stored in *half units* as integers so the dynamics
-are exact without floats.
+* ``mat_map``  — the 64×64 material grid            (engine.py:38 `_mat_map`)
+* ``ent``      — entity channel maps (type/health/aux/facing per cell); a
+                 cell is occupied iff ``ent.etype != 0``.  This subsumes the
+                 reference's object list *and* its `_obj_map` occupancy index
+                 (engine.py:37-39): cell-uniqueness is structural.
+* ``player``   — inventory/achievements/life counters + position
+                 (objects.py:70-82)
+* scalars      — step counter, PRNG key, reward bookkeeping
+
+``ent.aux`` is the single per-type counter: zombie attack cooldown
+(objects.py:288), skeleton reload (objects.py:320), plant growth
+(objects.py:392).  ``ent.facing`` is a direction index into rules.DIRS
+(arrows only, objects.py:356).  Fractional life counters (hunger/thirst/
+fatigue/recover change by ±0.5, objects.py:133-167) are stored in *half
+units* as integers so the dynamics are exact without floats.
+
+Storage dtypes are compact (uint8/int16) to halve HBM traffic; the step
+kernel widens to int32 on entry and narrows on exit (all inside the fused
+program, so the narrow types only exist in memory, never in compute).
 """
 
 from __future__ import annotations
@@ -33,27 +48,25 @@ from .config import EnvConfig
 
 
 @struct.dataclass
-class Entities:
-  """Structure-of-arrays entity table, capacity K (slot 0 = player).
+class EntMaps:
+  """Per-cell entity channels (replaces the round-1 SoA table + obj_map).
 
-  Replaces the reference's growing object list (engine.py:50-57).  A slot is
-  live iff ``etype != 0``.  ``aux`` is the single per-type counter: zombie
-  attack cooldown (objects.py:288), skeleton reload (objects.py:320), plant
-  growth (objects.py:392).  ``facing`` is a direction index into rules.DIRS
-  (arrows only, objects.py:356).
+  A cell holds at most one entity — the invariant the reference enforces
+  with asserts (engine.py:53, :71) — so maps *are* the canonical entity
+  store: no slot allocation, no capacity limit, no occupancy index.
   """
 
-  etype: jax.Array    # (K,) int32
-  pos: jax.Array      # (K, 2) int32
-  health: jax.Array   # (K,) int32
-  aux: jax.Array      # (K,) int32
-  facing: jax.Array   # (K,) int32
+  etype: jax.Array   # (W, H) uint8 entity type id (rules.E_*), 0 = empty
+  health: jax.Array  # (W, H) uint8
+  aux: jax.Array     # (W, H) int16 per-type counter (see module docstring)
+  facing: jax.Array  # (W, H) uint8 direction index (arrows)
 
 
 @struct.dataclass
 class Player:
-  """Player record (objects.py:70-82).  Position lives in entity slot 0."""
+  """Player record (objects.py:70-82)."""
 
+  pos: jax.Array           # (2,) int32 cell position (also marked in ent)
   facing: jax.Array        # () int32 direction index; starts down (0,+1)
   inventory: jax.Array     # (16,) int32, index 0 is health
   achievements: jax.Array  # (22,) int32 counts
@@ -70,8 +83,7 @@ class State:
   """Complete per-env simulation state (batched by vmapping every leaf)."""
 
   mat_map: jax.Array        # (W, H) uint8 material ids
-  obj_map: jax.Array        # (W, H) int32 entity slot + 1, 0 = empty
-  ent: Entities
+  ent: EntMaps
   player: Player
   step: jax.Array           # () int32
   key: jax.Array            # PRNG key driving all stochasticity
@@ -88,9 +100,10 @@ def daylight(step: jax.Array, day_length: int) -> jax.Array:
   return 1.0 - jnp.abs(jnp.cos(jnp.pi * progress)) ** 3
 
 
-def init_player() -> Player:
+def init_player(cfg: EnvConfig) -> Player:
   tables = rules.TABLES
   return Player(
+      pos=jnp.asarray(cfg.center, jnp.int32),  # env.py:71,76
       facing=jnp.int32(rules.DIR_DOWN),  # (0, +1), objects.py:72
       inventory=jnp.asarray(tables.item_initial, jnp.int32),
       achievements=jnp.zeros((rules.N_ACHIEVEMENTS,), jnp.int32),
@@ -101,15 +114,29 @@ def init_player() -> Player:
   )
 
 
-def empty_entities(cfg: EnvConfig) -> Entities:
-  k = cfg.max_entities
-  return Entities(
-      etype=jnp.zeros((k,), jnp.int32),
-      pos=jnp.zeros((k, 2), jnp.int32),
-      health=jnp.zeros((k,), jnp.int32),
-      aux=jnp.zeros((k,), jnp.int32),
-      facing=jnp.zeros((k,), jnp.int32),
+def empty_ent_maps(cfg: EnvConfig) -> EntMaps:
+  w, h = cfg.area
+  return EntMaps(
+      etype=jnp.zeros((w, h), jnp.uint8),
+      health=jnp.zeros((w, h), jnp.uint8),
+      aux=jnp.zeros((w, h), jnp.int16),
+      facing=jnp.zeros((w, h), jnp.uint8),
   )
+
+
+def add_entity(state: State, etype: int, pos, health: int = 0,
+               aux: int = 0, facing: int = 0) -> State:
+  """Place one entity into the channel maps (test/tooling helper)."""
+  x, y = int(pos[0]), int(pos[1])
+  ent = state.ent.replace(
+      etype=state.ent.etype.at[x, y].set(etype),
+      health=state.ent.health.at[x, y].set(health),
+      aux=state.ent.aux.at[x, y].set(aux),
+      facing=state.ent.facing.at[x, y].set(facing))
+  if etype == rules.E_PLAYER:
+    state = state.replace(
+        player=state.player.replace(pos=jnp.asarray([x, y], jnp.int32)))
+  return state.replace(ent=ent)
 
 
 def chunk_index(pos: jax.Array, cfg: EnvConfig) -> Any:
@@ -122,14 +149,8 @@ def semantic_view(state: State, cfg: EnvConfig) -> jax.Array:
 
   Entity type t maps to id N_MATERIALS + (t - 1), preserving the reference's
   [Player, Cow, Zombie, Skeleton, Arrow, Plant] registration order
-  (env.py:47-49).
+  (env.py:47-49).  With entities living in the grid this is one select.
   """
-  canvas = state.mat_map.astype(jnp.int32)
-  slot_type = state.ent.etype  # (K,)
-  live = slot_type > 0
-  ids = rules.N_MATERIALS + slot_type - 1
-  # Route dead slots out of bounds (positive OOB — negative would wrap under
-  # numpy indexing semantics); mode='drop' discards their writes.
-  x = jnp.where(live, state.ent.pos[:, 0], cfg.area[0])
-  y = state.ent.pos[:, 1]
-  return canvas.at[x, y].set(ids, mode='drop')
+  et = state.ent.etype.astype(jnp.int32)
+  return jnp.where(et > 0, rules.N_MATERIALS + et - 1,
+                   state.mat_map.astype(jnp.int32))

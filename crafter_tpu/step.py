@@ -1,13 +1,24 @@
-"""The simulation tick as one fused, branch-free device kernel.
+"""The simulation tick as a cellular automaton over entity channel maps.
 
 The reference advances the world by iterating a Python object list and
 letting every entity mutate the world in place
-(reference: crafter/env.py:83-118, crafter/objects.py).  Here the whole tick
-is a single pure function ``step(state, action) -> (state, out)`` built from
-masked, table-driven array ops, so thousands of envs step in lockstep under
-``jit``/``vmap`` and the entire tick fuses into a handful of XLA kernels on
-the TPU's VPU (no MXU work here — the state is tiny; throughput comes from
-batching and fusion, not FLOPs).
+(reference: crafter/env.py:83-118, crafter/objects.py).  Round 1 vectorized
+that as masked updates over a fixed-capacity entity table, but every
+table<->grid interaction (walkability of a move target, occupancy of a cell,
+spawning) needed a one-hot contraction over the 64x64 grid per entity slot —
+~100 launch-bound kernels and gigabytes of HBM intermediates per tick.
+
+This round entities live *in the grid* (state.EntMaps): type, health, aux
+counter, and facing are per-cell channels, and the entire tick is shifts and
+elementwise selects over (W, H) planes plus a few full-map reductions — the
+formulation the TPU's 8x128 VPU executes at memory speed with zero gathers:
+
+* "may I step onto my dir-d neighbor?"  -> compare against a shifted
+  material plane (one roll per direction, shared by every entity);
+* "is that cell occupied?"              -> shifted occupancy plane;
+* movement              -> four shifted claim planes + a priority select;
+* "mob next to player"  -> the L1 distance plane vs the player position;
+* spawns                -> masked writes into empty cells.
 
 Phase order inside a tick mirrors the reference exactly:
 
@@ -20,12 +31,14 @@ Phase order inside a tick mirrors the reference exactly:
 
 Sequential-to-parallel mapping (SURVEY.md §7 hard part 3): the reference
 updates entities one at a time, so later entities observe earlier entities'
-moves.  Here all mobs decide simultaneously against the post-player state and
-movement conflicts are resolved with a *claim* scatter: every valid mover
-scatter-mins its slot index into its target cell and moves only if it won,
-which reproduces the reference's iteration-order priority (lowest slot wins).
-Deliberate deviations, all rare and distribution-neutral:
+moves.  Here all mobs decide simultaneously against the post-player state
+and movement conflicts resolve by *direction priority*: when several movers
+claim one destination cell, the claimant arriving along the lowest direction
+index (rules.DIRS order) wins.  Deliberate deviations from the reference's
+insertion-order priority, all rare and distribution-neutral (an episode's
+outcome distribution is indistinguishable; see PARITY.md):
 
+* conflict winners are picked by incoming direction, not list position;
 * chain moves (B stepping into the cell A vacates within the same tick) are
   denied — a mover's target must be free at phase start;
 * a mob's second move attempt after a failed skeleton retreat
@@ -41,7 +54,7 @@ Replicated quirks (deliberately, for behavior parity):
   (env.py:87-89 gates updates, including death cleanup, on distance);
 * hitting a not-yet-removed corpse re-triggers the defeat/eat achievement
   (objects.py:197-213 checks ``health <= 0``, not a kill edge);
-* the 3×3 "nearby" crafting window is *empty* when the player stands on the
+* the 3x3 "nearby" crafting window is *empty* when the player stands on the
   x==0 or y==0 edge (engine.py:95-103 slices [x-1:x+2] and numpy treats the
   -1 start as wrap, yielding an empty slice).
 """
@@ -58,13 +71,14 @@ from flax import struct
 from . import rules
 from . import state as state_lib
 from .config import DEFAULT_CONFIG, EnvConfig
-from .ops import maps
-from .state import Entities, Player, State
+from .state import EntMaps, Player, State
+
+DIRS = tuple((int(d[0]), int(d[1])) for d in rules.DIRS)
 
 # Class indices for chunk balancing, in the reference's balancing order
 # (env.py:143-155: Zombie, Skeleton, Cow).
 BAL_CLASSES = (rules.E_ZOMBIE, rules.E_SKELETON, rules.E_COW)
-# (material, span_dist, despan_dist, spawn_prob, despawn_prob) per class
+# (material, span_dist, despawn_dist, spawn_prob, despawn_prob) per class
 # (env.py:143-155).
 BAL_MATERIAL = (rules.MAT_GRASS, rules.MAT_PATH, rules.MAT_GRASS)
 BAL_SPAN = (6, 7, 5)
@@ -73,7 +87,7 @@ BAL_SPAWN_P = (0.3, 0.1, 0.01)
 BAL_DESPAWN_P = (0.4, 0.1, 0.1)
 # Initial health per entity type (cow 3, zombie 5, skeleton 3, plant 1;
 # objects.py:267, :286, :319, :391).
-TYPE_HEALTH = np.array([0, 0, 3, 5, 3, 0, 1], np.int32)
+TYPE_HEALTH = (0, 0, 3, 5, 3, 0, 1)
 
 
 @struct.dataclass
@@ -85,37 +99,141 @@ class StepOut:
   dead: jax.Array          # () bool — discount = 1 - dead (env.py:111)
 
 
-def _walk_table() -> np.ndarray:
-  """(entity type, material) -> may stand there.  Plants never move."""
-  t = rules.TABLES
-  table = np.zeros((rules.N_ENTITY_TYPES, rules.N_MATERIALS), bool)
-  table[rules.E_PLAYER] = t.walkable_player
-  table[rules.E_COW] = t.walkable_mob
-  table[rules.E_ZOMBIE] = t.walkable_mob
-  table[rules.E_SKELETON] = t.walkable_mob
-  table[rules.E_ARROW] = t.walkable_arrow
-  return table
+# ---------------------------------------------------------------------------
+# Plane primitives: shifts, one-hots, counter-based per-cell randomness.
+# ---------------------------------------------------------------------------
 
 
-def _inside(pos: jax.Array, area: Tuple[int, int]) -> jax.Array:
+def _shift_xy(a: jax.Array, dx: int, dy: int) -> jax.Array:
+  """Translate plane content by (dx, dy); cells shifted in from outside are 0."""
+  zero = jnp.zeros((), a.dtype)
+  out = jnp.roll(a, (dx, dy), (0, 1))
+  if dx > 0:
+    out = out.at[:dx, :].set(zero)
+  elif dx < 0:
+    out = out.at[dx:, :].set(zero)
+  if dy > 0:
+    out = out.at[:, :dy].set(zero)
+  elif dy < 0:
+    out = out.at[:, dy:].set(zero)
+  return out
+
+
+def _push(a: jax.Array, d: int) -> jax.Array:
+  """out[c] = a[c - DIRS[d]]: content travels one cell along direction d."""
+  return _shift_xy(a, DIRS[d][0], DIRS[d][1])
+
+
+def _pull(a: jax.Array, d: int) -> jax.Array:
+  """out[c] = a[c + DIRS[d]]: what each cell sees at its dir-d neighbor."""
+  return _shift_xy(a, -DIRS[d][0], -DIRS[d][1])
+
+
+def _iota2(w: int, h: int):
+  x = jax.lax.broadcasted_iota(jnp.int32, (w, h), 0)
+  y = jax.lax.broadcasted_iota(jnp.int32, (w, h), 1)
+  return x, y
+
+
+def _onehot(pos: jax.Array, w: int, h: int) -> jax.Array:
+  """(w, h) bool plane marking ``pos``; all-False when pos is out of bounds."""
+  x, y = _iota2(w, h)
+  return (x == pos[0]) & (y == pos[1])
+
+
+def _read(plane: jax.Array, oh: jax.Array) -> jax.Array:
+  """Value of a plane at a one-hot position (0 when the one-hot is empty)."""
+  return jnp.sum(jnp.where(oh, plane, 0))
+
+
+def _tread(table, idx: jax.Array):
+  """table[idx] for a tiny (<= a few dozen rows) table and a scalar index.
+
+  A one-hot compare-select instead of a dynamic slice: per-env scalar
+  gathers serialize on TPU, 13 compares fuse into the surrounding program.
+  Out-of-range indices read as 0 (the reference's None/out-of-world row 0).
+  """
+  t = jnp.asarray(table)
+  oh = idx == jnp.arange(t.shape[0])
+  if t.ndim == 1:
+    out = jnp.sum(jnp.where(oh, t.astype(jnp.int32), 0))
+    return out.astype(bool) if t.dtype == bool else out
+  return jnp.sum(jnp.where(oh[:, None], t.astype(jnp.int32), 0), 0)
+
+
+def _mat_in(m: jax.Array, member_table) -> jax.Array:
+  """Per-cell set membership (e.g. walkability) as a compare chain.
+
+  ``member_table`` is a static (N_MATERIALS,) bool array; the trace unrolls
+  one compare per member material (<= 5), all fused on the VPU.
+  """
+  out = jnp.zeros(m.shape, bool)
+  for i in np.flatnonzero(np.asarray(member_table)):
+    out = out | (m == int(i))
+  return out
+
+
+def _fmix(v: jax.Array) -> jax.Array:
+  """32-bit avalanche (murmur3-style finalizer)."""
+  v = v ^ (v >> 16)
+  v = v * jnp.uint32(0x7FEB352D)
+  v = v ^ (v >> 15)
+  v = v * jnp.uint32(0x846CA68B)
+  v = v ^ (v >> 16)
+  return v
+
+
+def _cell_bits(seed: jax.Array, chan: int, w: int, h: int) -> jax.Array:
+  """Per-cell uint32 random bits from a counter-based hash.
+
+  Each (seed, channel, cell) triple maps through two avalanche rounds —
+  the same construction as the worldgen hash (ops/noise.py:noise3_fast),
+  an order of magnitude cheaper than threefry at these volumes.
+  """
+  x, y = _iota2(w, h)
+  v = (seed + jnp.uint32(chan) * jnp.uint32(0x9E3779B9)
+       + x.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B)
+       + y.astype(jnp.uint32) * jnp.uint32(0xC2B2AE35))
+  return _fmix(_fmix(v))
+
+
+def _cell_uniform(seed: jax.Array, chan: int, w: int, h: int) -> jax.Array:
+  """Per-cell iid uniforms in [0, 1).
+
+  The reference draws lazily from one MT19937 stream as its Python loops
+  touch entities (objects.py passim); each draw is consumed at most once,
+  so iid per-cell uniforms give the identical joint distribution.
+  """
+  bits = _cell_bits(seed, chan, w, h)
+  return (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+
+
+def _toward(px, py, x, y, long_axis):
+  """Per-cell axis-aligned step toward the player (objects.py:54-62).
+
+  Picks the long axis when ``long_axis`` else the short axis; ties go to y
+  (``dists[0] > dists[1]`` vs ``<=``).  Returns (mvx, mvy) planes in
+  {-1, 0, 1}; a zero offset on the chosen axis yields a (0, 0) "move" that
+  can never succeed (the reference moves onto its own occupied cell).
+  """
+  offx, offy = px - x, py - y
+  use_x = jnp.where(long_axis, jnp.abs(offx) > jnp.abs(offy),
+                    jnp.abs(offx) <= jnp.abs(offy))
+  mvx = jnp.where(use_x, jnp.sign(offx), 0)
+  mvy = jnp.where(use_x, 0, jnp.sign(offy))
+  return mvx, mvy
+
+
+def _dirvec(idx: jax.Array):
+  """Direction index plane -> (dx, dy) component planes (rules.DIRS)."""
+  dx = jnp.where(idx == 0, -1, jnp.where(idx == 1, 1, 0))
+  dy = jnp.where(idx == 2, -1, jnp.where(idx == 3, 1, 0))
+  return dx, dy
+
+
+def _inside_scalar(pos: jax.Array, area) -> jax.Array:
   x, y = pos[..., 0], pos[..., 1]
   return (0 <= x) & (x < area[0]) & (0 <= y) & (y < area[1])
-
-
-def _toward(src: jax.Array, dst: jax.Array, long_axis) -> jax.Array:
-  """Axis-aligned step toward dst (objects.py:54-62).
-
-  Picks the long axis when `long_axis` else the short axis; ties go to y
-  (`dists[0] > dists[1]` vs `<=`).
-  """
-  off = dst - src
-  adx, ady = jnp.abs(off[..., 0]), jnp.abs(off[..., 1])
-  use_x = jnp.where(long_axis, adx > ady, adx <= ady)
-  sx, sy = jnp.sign(off[..., 0]), jnp.sign(off[..., 1])
-  zeros = jnp.zeros_like(sx)
-  return jnp.where(use_x[..., None],
-                   jnp.stack([sx, zeros], -1),
-                   jnp.stack([zeros, sy], -1))
 
 
 # ---------------------------------------------------------------------------
@@ -127,15 +245,21 @@ def _player_phase(state: State, action: jax.Array, key: jax.Array,
                   cfg: EnvConfig):
   """Pure re-derivation of Player.update (objects.py:99-131).
 
-  Returns the post-player state pieces plus a pending plant-spawn request
-  (applied after the mob phase so the fresh plant does not update this tick,
-  matching the reference's copy-at-loop-start iteration, engine.py:41-44).
+  Scalar decision logic over a handful of one-hot plane reads; all world
+  writes are masked selects at the (single) target cell.  Returns the
+  post-player state plus a pending plant-spawn request (applied after the
+  mob phase so the fresh plant does not update this tick, matching the
+  reference's copy-at-loop-start iteration, engine.py:41-44).
   """
   t = rules.TABLES
+  w, h = cfg.area
   p = state.player
   inv = p.inventory
-  mat_map, obj_map, ent = state.mat_map, state.obj_map, state.ent
-  pos = ent.pos[0]
+  M = state.mat_map.astype(jnp.int32)
+  T = state.ent.etype.astype(jnp.int32)
+  Hp = state.ent.health.astype(jnp.int32)
+  A = state.ent.aux.astype(jnp.int32)
+  pos = p.pos
   energy_max = jnp.int32(t.item_max[rules.ITEM_ENERGY])
 
   # Sleep state machine (objects.py:103-108): while asleep the action is
@@ -149,23 +273,21 @@ def _player_phase(state: State, action: jax.Array, key: jax.Array,
       jnp.where(wake, 1, 0))
 
   # The do/place target uses the facing from *before* this tick's move
-  # (objects.py:100 computes it at update start).  The phase's point
-  # lookups (do/place target + move target + crafting window) share one
-  # fused material gather and one occupancy match.
+  # (objects.py:100 computes it at update start).
   target = pos + jnp.asarray(rules.DIRS)[p.facing]
   move_dir_idx = jnp.clip(action - 1, 0, 3)
   mtarget = pos + jnp.asarray(rules.DIRS)[move_dir_idx]
-  dx, dy = jnp.meshgrid(jnp.arange(-1, 2), jnp.arange(-1, 2), indexing='ij')
-  wpos = pos + jnp.stack([dx, dy], -1)            # (3, 3, 2) make window
-  pts = jnp.concatenate([target[None], mtarget[None], pos[None],
-                         wpos.reshape(9, 2)])
-  pmat = maps.map_gather(mat_map, pts)
-  tmat, mtmat, heremat = pmat[0], pmat[1], pmat[2]
-  wmat = pmat[3:].reshape(3, 3)
-  alive = ent.etype > 0
-  occ = maps.occupant(jnp.stack([target, mtarget]), ent.pos, alive)
-  tobj = occ[0]                                    # slot+1, 0 empty
-  t_inside = _inside(target, cfg.area)
+  oh_p = _onehot(pos, w, h)
+  oh_t = _onehot(target, w, h)
+  oh_mt = _onehot(mtarget, w, h)
+  tmat = _read(M, oh_t)          # 0 = out of bounds (MAT_NONE)
+  mtmat = _read(M, oh_mt)
+  heremat = _read(M, oh_p)
+  ttype = _read(T, oh_t)
+  thp = _read(Hp, oh_t)
+  taux = _read(A, oh_t)
+  t_occupied = ttype > 0
+  mt_occupied = _read(T, oh_mt) > 0
 
   is_move = (1 <= action) & (action <= 4)
   is_do = action == rules.A_DO
@@ -175,12 +297,11 @@ def _player_phase(state: State, action: jax.Array, key: jax.Array,
 
   # --- move (objects.py:174-179): facing set even when blocked. ----------
   facing = jnp.where(is_move, move_dir_idx, p.facing)
-  wp = jnp.asarray(t.walkable_player, jnp.int32)
-  can_move = (is_move & _inside(mtarget, cfg.area)
-              & maps.table_gather(wp, mtmat).astype(bool)
-              & (occ[1] == 0))
+  can_move = (is_move & _inside_scalar(mtarget, cfg.area)
+              & _tread(t.walkable_player, mtmat) & ~mt_occupied)
   new_pos = jnp.where(can_move, mtarget, pos)
-  # obj_map is rebuilt from the entity table once per tick (see step()).
+  T = jnp.where(oh_p & can_move, 0, T)
+  T = jnp.where(_onehot(new_pos, w, h) & can_move, rules.E_PLAYER, T)
   # Standing on lava after the move attempt is instant death
   # (objects.py:178-179) — checked at the post-move cell either way.
   on_lava = is_move & (jnp.where(can_move, mtmat, heremat)
@@ -189,26 +310,20 @@ def _player_phase(state: State, action: jax.Array, key: jax.Array,
       jnp.where(on_lava, 0, inv[rules.ITEM_HEALTH]))
 
   # --- do on an entity (objects.py:181-213). -----------------------------
-  do_obj = is_do & (tobj > 0)
-  tslot = jnp.where(do_obj, tobj - 1, -1)
-  ttype = maps.table_gather(ent.etype, tslot[None])[0]  # fill 0 = none
+  do_obj = is_do & t_occupied
   damage = jnp.max(jnp.stack([
       jnp.int32(1),
       jnp.where(inv[rules.ITEM_ID['wood_sword']] > 0, 2, 0),
       jnp.where(inv[rules.ITEM_ID['stone_sword']] > 0, 3, 0),
       jnp.where(inv[rules.ITEM_ID['iron_sword']] > 0, 5, 0)]))
   # Ripe plant: eat, reset growth, +4 food (objects.py:188-192).
-  taux = maps.table_gather(ent.aux, tslot[None], precise=True)[0]
-  thp = maps.table_gather(ent.health, tslot[None])[0]
   eat_plant = do_obj & (ttype == rules.E_PLANT) & (taux > 300)
-  ent = ent.replace(aux=maps.table_scatter_set(
-      ent.aux, tslot[None], 0, eat_plant[None]))
+  A = jnp.where(oh_t & eat_plant, 0, A)
   # Mobs take damage; health floors at 0 (objects.py:28-30 setter).
   hit_mob = do_obj & ((ttype == rules.E_ZOMBIE) | (ttype == rules.E_SKELETON)
                       | (ttype == rules.E_COW))
   hp_after = jnp.maximum(0, thp - damage)
-  ent = ent.replace(health=maps.table_scatter_set(
-      ent.health, tslot[None], hp_after[None], hit_mob[None]))
+  Hp = jnp.where(oh_t & hit_mob, hp_after, Hp)
   killed = hit_mob & (hp_after <= 0)
   eat_cow = killed & (ttype == rules.E_COW)
   food_gain = jnp.where(eat_plant, 4, 0) + jnp.where(eat_cow, 6, 0)
@@ -221,18 +336,18 @@ def _player_phase(state: State, action: jax.Array, key: jax.Array,
       jnp.where(killed & (ttype == rules.E_SKELETON), 1, 0))
 
   # --- do on a material (objects.py:214-229). ----------------------------
-  do_mat = is_do & (tobj == 0)
+  do_mat = is_do & ~t_occupied
   drink_water = do_mat & (tmat == rules.MAT_WATER)
-  can_collect = (do_mat & jnp.asarray(t.collectible)[tmat]
-                 & jnp.all(inv >= jnp.asarray(t.collect_require)[tmat]))
+  can_collect = (do_mat & _tread(t.collectible, tmat)
+                 & jnp.all(inv >= _tread(t.collect_require, tmat)))
   # Leaves are applied before the probability draw (objects.py:225-226).
-  leave = jnp.asarray(t.collect_leaves)[tmat]
-  mat_map = maps.map_scatter(mat_map, target[None], leave[None],
-                             (can_collect & t_inside)[None])
-  got = jax.random.uniform(key) <= jnp.asarray(t.collect_prob)[tmat]
+  M = jnp.where(oh_t & can_collect, _tread(t.collect_leaves, tmat), M)
+  prob = jnp.sum(jnp.where(tmat == jnp.arange(rules.N_MATERIALS),
+                           jnp.asarray(t.collect_prob), 0.0))
+  got = jax.random.uniform(key) <= prob
   receive = can_collect & got
-  inv = inv + jnp.where(receive, jnp.asarray(t.collect_receive)[tmat], 0)
-  cach = jnp.asarray(t.collect_ach)[tmat]
+  inv = inv + jnp.where(receive, _tread(t.collect_receive, tmat), 0)
+  cach = _tread(t.collect_ach, tmat)
   ach = ach.at[jnp.where(receive & (cach >= 0), cach,
                          rules.N_ACHIEVEMENTS)].add(1, mode='drop')
 
@@ -241,25 +356,25 @@ def _player_phase(state: State, action: jax.Array, key: jax.Array,
 
   # --- place (objects.py:231-249). ---------------------------------------
   pidx = jnp.clip(action - 7, 0, 3)
-  place_ok = (is_place & (tobj == 0)
-              & jnp.asarray(t.place_where)[pidx, tmat]
+  place_ok = (is_place & ~t_occupied
+              & _tread(jnp.asarray(t.place_where)[pidx], tmat)
               & jnp.all(inv >= jnp.asarray(t.place_uses)[pidx]))
   inv = inv - jnp.where(place_ok, jnp.asarray(t.place_uses)[pidx], 0)
   place_mat = place_ok & jnp.asarray(t.place_is_material)[pidx]
-  mat_map = maps.map_scatter(
-      mat_map, target[None], jnp.asarray(t.place_material)[pidx][None],
-      place_mat[None])
+  M = jnp.where(oh_t & place_mat, jnp.asarray(t.place_material)[pidx], M)
   plant_spawn = place_ok & ~jnp.asarray(t.place_is_material)[pidx]
   ach = ach.at[jnp.where(place_ok, jnp.asarray(t.place_ach)[pidx],
                          rules.N_ACHIEVEMENTS)].add(1, mode='drop')
 
-  # --- make (objects.py:251-261): 3×3 nearby window with the numpy
+  # --- make (objects.py:251-261): 3x3 nearby window with the numpy
   # empty-slice quirk at the x==0 / y==0 edges (engine.py:95-103).
   midx = jnp.clip(action - 11, 0, 5)
-  wvalid = ((pos[0] >= 1) & (pos[1] >= 1)
-            & (wpos[..., 0] < cfg.area[0]) & (wpos[..., 1] < cfg.area[1]))
-  nearby = ((wmat[..., None] == jnp.arange(rules.N_MATERIALS))
-            & wvalid[..., None]).any((0, 1))
+  x, y = _iota2(w, h)
+  window = ((jnp.abs(x - pos[0]) <= 1) & (jnp.abs(y - pos[1]) <= 1)
+            & (pos[0] >= 1) & (pos[1] >= 1))
+  nearby = jnp.any(
+      window[None] & (M[None] == jnp.arange(rules.N_MATERIALS)[:, None, None]),
+      (1, 2))
   make_ok = (is_make
              & jnp.all(nearby | ~jnp.asarray(t.make_nearby)[midx])
              & jnp.all(inv >= jnp.asarray(t.make_uses)[midx]))
@@ -305,13 +420,15 @@ def _player_phase(state: State, action: jax.Array, key: jax.Array,
   sleeping = sleeping & ~(hp < p.last_health)
 
   player = Player(
-      facing=facing, inventory=inv, achievements=ach, sleeping=sleeping,
-      hunger=hunger, thirst=thirst, fatigue=fatigue, recover=recover,
-      last_health=hp)
-  ent = ent.replace(pos=ent.pos.at[0].set(new_pos),
-                    health=ent.health.at[0].set(hp))
-  state = state.replace(mat_map=mat_map, obj_map=obj_map, ent=ent,
-                        player=player)
+      pos=new_pos, facing=facing, inventory=inv, achievements=ach,
+      sleeping=sleeping, hunger=hunger, thirst=thirst, fatigue=fatigue,
+      recover=recover, last_health=hp)
+  state = state.replace(
+      mat_map=M.astype(state.mat_map.dtype),
+      ent=state.ent.replace(etype=T.astype(state.ent.etype.dtype),
+                            health=Hp.astype(state.ent.health.dtype),
+                            aux=A.astype(state.ent.aux.dtype)),
+      player=player)
   return state, plant_spawn, jnp.where(plant_spawn, target,
                                        jnp.full((2,), -1, jnp.int32))
 
@@ -323,177 +440,211 @@ def _player_phase(state: State, action: jax.Array, key: jax.Array,
 
 def _mob_phase(state: State, key: jax.Array, cfg: EnvConfig,
                plant_spawn, plant_pos):
-  """All non-player entities decide simultaneously; claims order conflicts.
+  """All non-player entities decide simultaneously on their cells.
 
-  Every map access here runs through the one-hot primitives in ops/maps.py
-  — per-point gathers/scatters at (batch, K) shapes serialize on TPU and
-  would cost ~35 ms each.
+  Decisions are computed in the *source-cell* domain on the post-player
+  state, movement carries every channel through four shifted claim planes,
+  and post-move effects (zombie melee, plant damage) read the moved planes.
   """
   t = rules.TABLES
-  k = cfg.max_entities
   w, h = cfg.area
-  ent = state.ent
-  mat_map, obj_map = state.mat_map, state.obj_map
-  slots = jnp.arange(k)
-  et, pos, hp, aux = ent.etype, ent.pos, ent.health, ent.aux
-  ppos = pos[0]
+  M = state.mat_map.astype(jnp.int32)
+  T = state.ent.etype.astype(jnp.int32)
+  Hp = state.ent.health.astype(jnp.int32)
+  A = state.ent.aux.astype(jnp.int32)
+  F = state.ent.facing.astype(jnp.int32)
+  ppos = state.player.pos
   sleeping = state.player.sleeping
 
-  k_u, k_dir = jax.random.split(key)
-  u = jax.random.uniform(k_u, (k, 8))
-  rdir = jnp.asarray(rules.DIRS)[jax.random.randint(k_dir, (k,), 0, 4)]
+  seed = jax.random.bits(key, (), jnp.uint32)
+  u = [_cell_uniform(seed, c, w, h) for c in range(8)]
 
-  pdist = jnp.abs(pos - ppos).sum(-1)
-  active = (et > 0) & (slots != 0) & (pdist < cfg.update_distance)
-  is_cow = et == rules.E_COW
-  is_zom = et == rules.E_ZOMBIE
-  is_skel = et == rules.E_SKELETON
-  is_arrow = et == rules.E_ARROW
-  is_plant = et == rules.E_PLANT
+  x, y = _iota2(w, h)
+  pdist = jnp.abs(x - ppos[0]) + jnp.abs(y - ppos[1])
+  pending = plant_spawn & _onehot(plant_pos, w, h)
+
+  is_cow = T == rules.E_COW
+  is_zom = T == rules.E_ZOMBIE
+  is_skel = T == rules.E_SKELETON
+  is_arrow = T == rules.E_ARROW
+  is_plant = T == rules.E_PLANT
+  active = (T > rules.E_PLAYER) & (pdist < cfg.update_distance)
   # Mobs at zero health are removed at the start of their own update but
   # still run their attack logic this tick (objects.py:274-276, :294-296,
   # :327-329 remove then fall through).
-  dying = active & (hp <= 0) & (is_cow | is_zom | is_skel)
+  dying = active & (Hp <= 0) & (is_cow | is_zom | is_skel)
 
-  # The freshly placed plant's cell counts as occupied for every check this
-  # tick (in the reference it is added mid-tick, objects.py:248); it is
-  # compared against positions directly instead of writing a sentinel.
-  def pending_at(p):
-    return plant_spawn & (p == plant_pos).all(-1)
-
-  # --- decisions -----------------------------------------------------------
+  # --- decisions (source-cell domain) ------------------------------------
+  rdx, rdy = _dirvec(jnp.minimum((u[7] * 4).astype(jnp.int32), 3))
   # Cow: random walk with p=0.5 (objects.py:277-279).
-  cow_wants = is_cow & (u[:, 0] < 0.5)
+  cow_wants = u[0] < 0.5
   # Zombie: chase within dist 8 with p=0.9 (long axis p=0.8), else random
   # walk (objects.py:297-301).
-  chase = (pdist <= 8) & (u[:, 0] < 0.9)
-  zdir = jnp.where(chase[:, None],
-                   _toward(pos, ppos, u[:, 1] < 0.8), rdir)
+  chase = (pdist <= 8) & (u[0] < 0.9)
+  twx, twy = _toward(ppos[0], ppos[1], x, y, u[1] < 0.8)
+  zx = jnp.where(chase, twx, rdx)
+  zy = jnp.where(chase, twy, rdy)
   # Skeleton (objects.py:327-341): retreat at dist<=3; on a failed retreat
   # fall through the elif chain (shoot / approach / walk).
   retreat = pdist <= 3
-  sdir_retreat = -_toward(pos, ppos, u[:, 2] < 0.6)
-  c_shoot = (pdist <= 5) & (u[:, 3] < 0.5)
-  c_approach = (pdist <= 8) & (u[:, 4] < 0.3)
-  c_walk = u[:, 5] < 0.2
-  sdir_other = jnp.where(
-      (~c_shoot & c_approach)[:, None],
-      _toward(pos, ppos, u[:, 6] < 0.6), rdir)
+  rwx, rwy = _toward(ppos[0], ppos[1], x, y, u[2] < 0.6)
+  c_shoot = (pdist <= 5) & (u[3] < 0.5)
+  c_approach = (pdist <= 8) & (u[4] < 0.3)
+  c_walk = u[5] < 0.2
+  awx, awy = _toward(ppos[0], ppos[1], x, y, u[6] < 0.6)
+  appr = ~c_shoot & c_approach
+  sox = jnp.where(appr, awx, rdx)
+  soy = jnp.where(appr, awy, rdy)
   s_wants_other = ~c_shoot & (c_approach | c_walk)
-  sdir = jnp.where(retreat[:, None], sdir_retreat, sdir_other)
+  sx = jnp.where(retreat, -rwx, sox)
+  sy = jnp.where(retreat, -rwy, soy)
   skel_wants = retreat | s_wants_other
-  # Arrows fly along their facing; their `target` below doubles as the
-  # impact cell (objects.py:373-384).
-  adir = jnp.asarray(rules.DIRS)[ent.facing]
+  # Arrows fly along their facing (objects.py:373-384).
+  avx, avy = _dirvec(F)
 
-  move_dir = jnp.where(is_zom[:, None], zdir,
-                       jnp.where(is_skel[:, None], sdir,
-                                 jnp.where(is_arrow[:, None], adir, rdir)))
-  target = pos + move_dir
-  # One fused material lookup for both point sets used this phase (move
-  # targets + potential skeleton arrow-spawn cells).
-  arrow_pos_early = pos + _toward(pos, ppos, True)
-  both_mat = maps.map_gather(
-      mat_map, jnp.concatenate([target, arrow_pos_early]))
-  tmat, arrow_mat = both_mat[:k], both_mat[k:]
-  alive = et > 0
-  tobj_raw = maps.occupant(target, pos, alive)
-  tobj = jnp.where((tobj_raw == 0) & pending_at(target), k + 1, tobj_raw)
+  mvx = jnp.where(is_zom, zx, jnp.where(is_skel, sx,
+                                        jnp.where(is_arrow, avx, rdx)))
+  mvy = jnp.where(is_zom, zy, jnp.where(is_skel, sy,
+                                        jnp.where(is_arrow, avy, rdy)))
+
+  # Per-cell target attributes via per-direction shifted planes.
+  occ0 = (T > 0) | pending   # the fresh plant's cell counts as occupied
+  #                            for every check this tick (objects.py:248)
+  tmat = jnp.zeros((w, h), jnp.int32)
+  tocc = jnp.zeros((w, h), bool)
+  inside_t = jnp.zeros((w, h), bool)
+  for d in range(4):
+    sel = (mvx == DIRS[d][0]) & (mvy == DIRS[d][1])
+    tmat = jnp.where(sel, _pull(M, d), tmat)
+    tocc = jnp.where(sel, _pull(occ0, d), tocc)
+    nx, ny = x + DIRS[d][0], y + DIRS[d][1]
+    inside_t = jnp.where(
+        sel, (nx >= 0) & (nx < w) & (ny >= 0) & (ny < h), inside_t)
+  moving = (mvx != 0) | (mvy != 0)  # a (0,0) `toward` never succeeds
+  # A cell "targeting itself" (zero move vector) reads its own attributes
+  # in the reference; feasibility fails there via the occupancy check.
+  tmat = jnp.where(moving, tmat, M)
+  tocc = jnp.where(moving, tocc, occ0)
+  inside_t = jnp.where(moving, inside_t, True)
 
   # Arrow impact decisions (objects.py:373-384): hit / despawn / fly.
-  a_hit = is_arrow & active & (tobj > 0)
+  a_hit = is_arrow & active & tocc
   a_block = (is_arrow & active & ~a_hit
-             & ~maps.table_gather(
-                 jnp.asarray(t.walkable_arrow, jnp.int32), tmat).astype(bool))
+             & ~_mat_in(tmat, t.walkable_arrow))
   a_fly = is_arrow & active & ~a_hit & ~a_block
 
   wants = active & ~dying & (
-      cow_wants | is_zom | (is_skel & skel_wants) | a_fly)
+      (is_cow & cow_wants) | is_zom | (is_skel & skel_wants) | a_fly)
 
-  # --- claim-based movement resolution ------------------------------------
-  walk_flat = jnp.asarray(_walk_table().reshape(-1).astype(np.int32))
-  walk_ok = maps.table_gather(
-      walk_flat, et * rules.N_MATERIALS + tmat).astype(bool)
-  feasible = _inside(target, cfg.area) & walk_ok & (tobj == 0)
-  valid = wants & feasible
-  won = maps.claim_lowest(target, valid)
-  npos = jnp.where(won[:, None], target, pos)
+  # --- movement: four claim planes + direction-priority select -----------
+  walk_ok = jnp.where(is_arrow, _mat_in(tmat, t.walkable_arrow),
+                      _mat_in(tmat, t.walkable_mob))
+  feasible = inside_t & walk_ok & ~tocc
+  valid = wants & feasible & moving
+
+  claims = []
+  taken = jnp.zeros((w, h), bool)
+  success = jnp.zeros((w, h), bool)
+  for d in range(4):
+    mover_d = valid & (mvx == DIRS[d][0]) & (mvy == DIRS[d][1])
+    win_d = _push(mover_d, d) & ~taken
+    taken = taken | win_d
+    claims.append(win_d)
+    success = success | (_pull(win_d, d) & mover_d)
+
+  # --- skeleton shooting decision (objects.py:330-351).  A dead skeleton
+  # "moves" whenever the retreat cell is free (World.move no-ops on removed
+  # objects but Object.move still reports success, engine.py:67-69).
+  s_moved = jnp.where(dying, retreat & feasible, retreat & success)
+  reload = jnp.where(active & is_skel, jnp.maximum(0, A - 1), A)
+  shoot = active & is_skel & ~s_moved & c_shoot & (reload == 0)
+  shvx, shvy = _toward(ppos[0], ppos[1], x, y, True)
+
+  # --- arrow impacts: damage at the target cell, applied pre-move so it
+  # travels with a mob that also moves this tick (the round-1 semantics).
+  dmg = jnp.zeros((w, h), jnp.int32)
+  for d in range(4):
+    dmg = dmg + 2 * _push(a_hit & (F == d), d).astype(jnp.int32)
+  player_arrow_dmg = _read(dmg, _onehot(ppos, w, h))
+  Hp = jnp.maximum(0, Hp - jnp.where(T > rules.E_PLAYER, dmg, 0))
+  # Arrows destroy tables/furnaces into path (objects.py:380-382); the
+  # masked select is idempotent, so several arrows smashing one cell are
+  # fine (unlike round 1's summed scatter).
+  smash_src = a_block & ((tmat == rules.MAT_TABLE)
+                         | (tmat == rules.MAT_FURNACE))
+  smash = jnp.zeros((w, h), bool)
+  for d in range(4):
+    smash = smash | _push(smash_src & (F == d), d)
+  M = jnp.where(smash, rules.MAT_PATH, M)
+
+  # --- plants grow before moving planes are built (objects.py:405-407).
+  A = jnp.where(active & is_plant, A + 1, A)
+  A = jnp.where(is_skel, reload, A)
+
+  # --- apply movement: carry every channel through the claim planes ------
+  T1 = jnp.where(success, 0, T)
+  H1 = Hp
+  A1 = A
+  F1 = F
+  for d in range(4):
+    T1 = jnp.where(claims[d], _push(T, d), T1)
+    H1 = jnp.where(claims[d], _push(Hp, d), H1)
+    A1 = jnp.where(claims[d], _push(A, d), A1)
+    F1 = jnp.where(claims[d], _push(F, d), F1)
 
   # --- zombie melee (objects.py:302-312): post-move adjacency, cooldown
   # counts down only while adjacent, 7 damage if the player sleeps.
-  ndist = jnp.abs(npos - ppos).sum(-1)
-  z_adj = active & is_zom & (ndist <= 1)
-  z_att = z_adj & (aux == 0)
-  aux = jnp.where(z_adj, jnp.where(z_att, 5, aux - 1), aux)
-  zdmg = jnp.where(z_att, jnp.where(sleeping, 7, 2), 0).sum()
+  z_adj = (T1 == rules.E_ZOMBIE) & (pdist <= 1)
+  z_att = z_adj & (A1 == 0)
+  A1 = jnp.where(z_adj, jnp.where(z_att, 5, A1 - 1), A1)
+  zdmg = jnp.sum(jnp.where(z_att, jnp.where(sleeping, 7, 2), 0))
 
-  # --- skeleton shooting (objects.py:330-351).  A dead skeleton "moves"
-  # whenever the retreat cell is free (World.move no-ops on removed objects
-  # but Object.move still reports success, engine.py:67-69).
-  s_moved = jnp.where(dying, retreat & feasible, retreat & won)
-  reload = jnp.where(active & is_skel, jnp.maximum(0, aux - 1), aux)
-  shoot = (active & is_skel & ~s_moved & c_shoot & (reload == 0))
-  shoot_dir = _toward(pos, ppos, True)
-  arrow_pos = pos + shoot_dir
+  # --- plant damage from adjacent mobs (objects.py:408-411): post-move
+  # positions, pre-removal liveness (dying mobs still occupy their cell).
+  hostile = ((T1 == rules.E_COW) | (T1 == rules.E_ZOMBIE)
+             | (T1 == rules.E_SKELETON))
+  nbr_hostile = jnp.zeros((w, h), bool)
+  for d in range(4):
+    nbr_hostile = nbr_hostile | _push(hostile, d)
+  plant_hit = active & is_plant & nbr_hostile  # plants never move
+  H1 = jnp.where(plant_hit, jnp.maximum(0, H1 - 1), H1)
+  plant_dead = active & is_plant & (H1 <= 0)
 
-  # --- arrow impacts -------------------------------------------------------
-  dmg = maps.table_scatter_add(
-      k, jnp.where(a_hit & (tobj <= k), tobj - 1, -1), 2)
-  player_arrow_dmg = dmg[0]
-  hp = jnp.maximum(0, hp - jnp.where(slots == 0, 0, dmg))
-  # Arrows destroy tables/furnaces into path (objects.py:380-382).  Two
-  # arrows blocked by the same cell in one tick must not both scatter
-  # (map_scatter sums duplicate one-hot rows) — claim the cell first.
-  smash = a_block & ((tmat == rules.MAT_TABLE)
-                     | (tmat == rules.MAT_FURNACE))
-  smash = maps.claim_lowest(target, smash)
-  mat_map = maps.map_scatter(mat_map, target, rules.MAT_PATH, smash)
+  # --- removals ----------------------------------------------------------
+  removed = dying | a_hit | a_block | plant_dead
+  T1 = jnp.where(removed, 0, T1)
 
-  # --- plants (objects.py:405-411): grow, take damage from adjacent mobs.
-  # Adjacency checked against post-move positions, pre-removal liveness
-  # (dying mobs still occupy their cell at this point, as in the map-based
-  # formulation).
-  aux = jnp.where(active & is_plant, aux + 1, aux)
-  nbrs = npos[:, None, :] + jnp.asarray(rules.DIRS)[None, :, :]  # (K, 4, 2)
-  nslot = maps.occupant(nbrs, npos, alive) - 1                   # (K, 4)
-  ntype = maps.table_gather(et, nslot)         # OOB/empty -> 0 (none)
-  hostile = ((ntype == rules.E_ZOMBIE) | (ntype == rules.E_SKELETON)
-             | (ntype == rules.E_COW)).any(-1)
-  hp = jnp.where(active & is_plant & hostile, jnp.maximum(0, hp - 1), hp)
-  plant_dead = active & is_plant & (hp <= 0)
+  # --- pending plant materializes (before arrow spawns, round-1 order).
+  T1 = jnp.where(pending, rules.E_PLANT, T1)
+  H1 = jnp.where(pending, 1, H1)
+  A1 = jnp.where(pending, 0, A1)
 
-  # --- removals ------------------------------------------------------------
-  removed = dying | (a_hit | a_block) | plant_dead
-  et = jnp.where(removed, 0, et)
+  # --- arrow spawns (objects.py:344-351): the target cell must be free
+  # *post-move* and arrow-walkable; reload resets only on a real shot.
+  spawn_free = (T1 == 0) & ~pending & _mat_in(M, t.walkable_arrow)
+  arrow_ok_src = jnp.zeros((w, h), bool)
+  staken = jnp.zeros((w, h), bool)
+  for d in range(4):
+    spawn_d = shoot & (shvx == DIRS[d][0]) & (shvy == DIRS[d][1])
+    win_d = _push(spawn_d, d) & spawn_free & ~staken
+    staken = staken | win_d
+    T1 = jnp.where(win_d, rules.E_ARROW, T1)
+    H1 = jnp.where(win_d, 0, H1)
+    A1 = jnp.where(win_d, 0, A1)
+    F1 = jnp.where(win_d, d, F1)
+    arrow_ok_src = arrow_ok_src | (_pull(win_d, d) & spawn_d)
+  A1 = jnp.where(arrow_ok_src, 4, A1)  # shooter reloads
 
-  # Arrow spawn feasibility (objects.py:348-351): target must be free and
-  # arrow-walkable; reload resets only when the shot happens.  (The
-  # arrow-spawn material gather shares the phase's single fused mat-map
-  # lookup below.)
-  aw = jnp.asarray(t.walkable_arrow, jnp.int32)
-  arrow_ok = (shoot & _inside(arrow_pos, cfg.area)
-              & maps.table_gather(aw, arrow_mat).astype(bool)
-              & (maps.occupant(arrow_pos, npos, et > 0) == 0)
-              & ~pending_at(arrow_pos))
-  reload = jnp.where(arrow_ok, 4, reload)
-  aux = jnp.where(is_skel, reload, aux)
-
-  ent = Entities(etype=et, pos=npos, health=hp, aux=aux, facing=ent.facing)
   player = state.player.replace(
       inventory=state.player.inventory.at[rules.ITEM_HEALTH].set(
           jnp.maximum(0, state.player.inventory[rules.ITEM_HEALTH]
                       - zdmg - player_arrow_dmg)))
-  state = state.replace(mat_map=mat_map, ent=ent, player=player)
-  arrow_req = dict(valid=arrow_ok, pos=arrow_pos,
-                   facing=_dir_index(shoot_dir))
-  return state, arrow_req
-
-
-def _dir_index(vec: jax.Array) -> jax.Array:
-  """Direction vector -> index into rules.DIRS."""
-  d = jnp.asarray(rules.DIRS)  # (4, 2)
-  eq = (vec[..., None, :] == d).all(-1)  # (..., 4)
-  return jnp.argmax(eq, -1)
+  ent = EntMaps(etype=T1.astype(state.ent.etype.dtype),
+                health=H1.astype(state.ent.health.dtype),
+                aux=A1.astype(state.ent.aux.dtype),
+                facing=F1.astype(state.ent.facing.dtype))
+  return state.replace(mat_map=M.astype(state.mat_map.dtype),
+                       ent=ent, player=player)
 
 
 # ---------------------------------------------------------------------------
@@ -510,154 +661,109 @@ def _chunk_view(grid: jax.Array, cfg: EnvConfig, fill) -> jax.Array:
           .reshape(ncx * ncy, csx * csy))
 
 
+def _chunk_broadcast(vals: jax.Array, cfg: EnvConfig) -> jax.Array:
+  """(n_chunks,) per-chunk values -> (W, H) plane."""
+  (csx, csy), (ncx, ncy) = cfg.chunk_size, cfg.n_chunks
+  w, h = cfg.area
+  full = jnp.repeat(jnp.repeat(vals.reshape(ncx, ncy), csx, 0), csy, 1)
+  return full[:w, :h]
+
+
 def _balance_phase(state: State, key: jax.Array, cfg: EnvConfig):
   """Spawn/despawn mobs toward daylight-dependent per-chunk targets.
 
   The reference visits every chunk that ever held an object (a defaultdict
   grown on add/move, engine.py:36, :57, :78-79) and, per class, spawns at a
   random material cell or despawns a random creature (env.py:157-179).
+  Uniform picks become per-chunk argmaxes of per-cell random scores (made
+  unique by mixing the in-chunk cell rank into the low bits).
   """
   t = rules.TABLES
-  k = cfg.max_entities
   w, h = cfg.area
   (csx, csy), (ncx, ncy) = cfg.chunk_size, cfg.n_chunks
   nch = ncx * ncy
-  ent = state.ent
-  slots = jnp.arange(k)
+  M = state.mat_map.astype(jnp.int32)
+  T = state.ent.etype.astype(jnp.int32)
   light = state_lib.daylight(state.step, cfg.day_length)
-  ppos = ent.pos[0]
+  ppos = state.player.pos
+  x, y = _iota2(w, h)
+  pdist = jnp.abs(x - ppos[0]) + jnp.abs(y - ppos[1])
 
-  k_gate, k_cells, k_pick, k_despawn = jax.random.split(key, 4)
+  k_gate, k_cells = jax.random.split(key)
+  seed = jax.random.bits(k_cells, (), jnp.uint32)
 
-  live = ent.etype > 0
-  cid = (ent.pos[:, 0] // csx) * ncy + ent.pos[:, 1] // csy
-  touched = state.chunk_touched.reshape(-1)
-
-  # Per-chunk, per-class creature counts (dense segment-sum, ops/maps.py).
-  cls = jnp.full((k,), -1, jnp.int32)
-  for ci, etype in enumerate(BAL_CLASSES):
-    cls = jnp.where(ent.etype == etype, ci, cls)
-  member = live & (cls >= 0)
-  seg = jnp.where(member, cid * 3 + cls, -1)
-  counts = maps.table_scatter_add(nch * 3, seg, 1).reshape(nch, 3)
-
-  # Per-chunk material space and random spawn cells.
-  matv = _chunk_view(state.mat_map, cfg, 0)             # (nch, csx*csy)
+  # Per-chunk, per-class creature counts and material space.
+  etv = _chunk_view(T, cfg, 0)                        # (nch, cs)
+  matv = _chunk_view(M, cfg, 0)
+  counts = jnp.stack(
+      [(etv == e).sum(-1) for e in BAL_CLASSES], -1)  # (nch, 3)
   grass_n = (matv == rules.MAT_GRASS).sum(-1)
   path_n = (matv == rules.MAT_PATH).sum(-1)
+  touched = state.chunk_touched.reshape(-1)
 
   # Spawn/despawn targets (env.py:143-155).  int() truncation on the floats.
   tmin = jnp.stack([
       jnp.where(grass_n < 50, 0.0, 3.5 - 3 * light),
       jnp.where(path_n < 6, 0.0, 1.0),
-      jnp.where(grass_n < 30, 0.0, 1.0)], -1)           # (nch, 3)
+      jnp.where(grass_n < 30, 0.0, 1.0)], -1)         # (nch, 3)
   tmax = jnp.stack([
       jnp.broadcast_to(3.5 - 3 * light, (nch,)),
       jnp.full((nch,), 2.0),
       jnp.broadcast_to(1.5 + light, (nch,))], -1)
 
   gate = jax.random.uniform(k_gate, (nch, 3, 2))
-  spawn_p = jnp.asarray(BAL_SPAWN_P)
-  despawn_p = jnp.asarray(BAL_DESPAWN_P)
   want_spawn = (touched[:, None]
                 & (counts < jnp.trunc(tmin).astype(jnp.int32))
-                & (gate[..., 0] < spawn_p))
+                & (gate[..., 0] < jnp.asarray(BAL_SPAWN_P)))
   want_despawn = (touched[:, None] & ~want_spawn
                   & (counts > jnp.trunc(tmax).astype(jnp.int32))
-                  & (gate[..., 1] < despawn_p))
+                  & (gate[..., 1] < jnp.asarray(BAL_DESPAWN_P)))
 
-  # Uniform random material cell per (chunk, class): argmax of iid uniforms
-  # over the in-chunk material mask (env.py:165-170's randint pick).
-  ucell = jax.random.uniform(k_cells, (3, nch, csx * csy))
-  need_mat = jnp.asarray(BAL_MATERIAL)                  # (3,)
-  mmatch = matv[None] == need_mat[:, None, None]        # (3, nch, cs)
-  score = jnp.where(mmatch, ucell, -1.0)
-  pick = jnp.argmax(score, -1)                          # (3, nch)
-  pick_ok = jnp.take_along_axis(score, pick[..., None], -1)[..., 0] >= 0
-  chunk_x = (jnp.arange(nch) // ncy) * csx
-  chunk_y = (jnp.arange(nch) % ncy) * csy
-  sp_x = chunk_x[None] + pick // csy
-  sp_y = chunk_y[None] + pick % csy                     # (3, nch)
-  sp_pos = jnp.stack([sp_x, sp_y], -1)                  # (3, nch, 2)
-  sp_dist = jnp.abs(sp_pos - ppos).sum(-1)              # L1, objects.py:49-52
-  span = jnp.asarray(BAL_SPAN)[:, None]
-  spawn_ok = (want_spawn.T & pick_ok & _inside(sp_pos, cfg.area)
-              & (maps.occupant(sp_pos, ent.pos, live) == 0)
-              & (sp_dist >= span))                      # (3, nch)
+  # Unique-within-chunk random scores: random high bits, cell rank low bits.
+  rank = ((x % csx) * csy + y % csy).astype(jnp.int32)  # < csx*csy <= 4096
 
-  # Despawn: uniform random creature of the class in the chunk, removed when
-  # far enough from the player (env.py:175-179).  Uniform pick = argmax of
-  # iid random priorities, dense per-segment (ops/maps.py).
-  prio = jax.random.randint(k_despawn, (k,), 0, 1 << 30)
-  victim, best = maps.masked_argmax_per_segment(
-      jnp.where(member, cid * 3 + cls, -1), prio, nch * 3, member)
-  victim = victim.reshape(nch, 3)
-  vx = maps.table_gather(ent.pos[:, 0], victim.reshape(-1)).reshape(nch, 3)
-  vy = maps.table_gather(ent.pos[:, 1], victim.reshape(-1)).reshape(nch, 3)
-  vdist = jnp.abs(vx - ppos[0]) + jnp.abs(vy - ppos[1])
-  despawn_ok = (want_despawn & (victim >= 0)
-                & (vdist >= jnp.asarray(BAL_DESPAN)[None, :]))
+  def pick(member, chan):
+    """Uniform random member cell per chunk -> (W, H) one-pick-per-chunk."""
+    bits = (_cell_bits(seed, chan, w, h) >> 13).astype(jnp.int32)
+    score = jnp.where(member, (bits << 12) | rank, -1)
+    best = jnp.max(_chunk_view(score, cfg, -1), -1)     # (nch,)
+    return member & (score == _chunk_broadcast(best, cfg)) & (score >= 0)
 
-  spawn_req = dict(
-      valid=spawn_ok.reshape(-1),                       # (3*nch,)
-      pos=sp_pos.reshape(-1, 2),
-      etype=jnp.broadcast_to(jnp.asarray(BAL_CLASSES)[:, None],
-                             (3, nch)).reshape(-1))
-  despawn = dict(valid=despawn_ok.reshape(-1), slot=victim.reshape(-1))
-  return despawn, spawn_req
+  despawn = jnp.zeros((w, h), bool)
+  spawn_masks = []
+  for i, etype in enumerate(BAL_CLASSES):
+    #
+
+    # Despawn: uniform random creature of the class in the chunk, removed
+    # when far enough from the player (env.py:175-179).
+    d_pick = pick(T == etype, 8 + i)
+    despawn = despawn | (
+        d_pick & _chunk_broadcast(want_despawn[:, i], cfg)
+        & (pdist >= BAL_DESPAN[i]))
+    # Spawn: uniform random cell of the class material (occupied cells are
+    # candidates too — the reference picks first, then fails on occupancy).
+    s_pick = pick(M == BAL_MATERIAL[i], 11 + i)
+    spawn_masks.append(
+        s_pick & _chunk_broadcast(want_spawn[:, i], cfg)
+        & (pdist >= BAL_SPAN[i]))
+  return despawn, spawn_masks
 
 
-# ---------------------------------------------------------------------------
-# Phase 4: unified spawn allocation into free entity slots.
-# ---------------------------------------------------------------------------
-
-
-def _spawn_phase(state: State, cfg: EnvConfig, plant_spawn, plant_pos,
-                 arrow_req, bal_req):
-  """Place all pending spawns (plant, arrows, balance mobs) atomically.
-
-  Requests are ordered (plant, arrows by slot, balance by chunk) and claim
-  cells via scatter-min so no two spawns share a cell; slots are the lowest
-  free indices, mirroring the reference's append-to-list allocation
-  (engine.py:50-57) up to slot reuse.
-  """
-  k = cfg.max_entities
-  w, h = cfg.area
-  ent = state.ent
-
-  req_valid = jnp.concatenate([
-      plant_spawn[None], arrow_req['valid'], bal_req['valid']])
-  req_pos = jnp.concatenate([
-      plant_pos[None], arrow_req['pos'], bal_req['pos']])
-  req_type = jnp.concatenate([
-      jnp.full((1,), rules.E_PLANT, jnp.int32),
-      jnp.full((k,), rules.E_ARROW, jnp.int32),
-      bal_req['etype']])
-  req_facing = jnp.concatenate([
-      jnp.zeros((1,), jnp.int32), arrow_req['facing'],
-      jnp.zeros_like(bal_req['etype'])])
-  # Cell uniqueness among requests + cell must be free right now.
-  req_valid = (req_valid & _inside(req_pos, cfg.area)
-               & (maps.occupant(req_pos, ent.pos, ent.etype > 0) == 0))
-  req_valid = maps.claim_lowest(req_pos, req_valid)
-
-  # Lowest free slots, assigned in request order.
-  free_sorted = jnp.sort(jnp.where(ent.etype == 0, jnp.arange(k), k))
-  rank = jnp.cumsum(req_valid) - 1
-  slot = maps.table_gather(free_sorted, jnp.clip(rank, 0, k - 1), fill=k)
-  ok = req_valid & (slot < k)
-  slot = jnp.where(ok, slot, -1)
-
-  health = maps.table_gather(jnp.asarray(TYPE_HEALTH), req_type)
-  ent = ent.replace(
-      etype=maps.table_scatter_set(ent.etype, slot, req_type, ok),
-      pos=jnp.stack([
-          maps.table_scatter_set(ent.pos[:, 0], slot, req_pos[:, 0], ok),
-          maps.table_scatter_set(ent.pos[:, 1], slot, req_pos[:, 1], ok)],
-          -1),
-      health=maps.table_scatter_set(ent.health, slot, health, ok),
-      aux=maps.table_scatter_set(ent.aux, slot, 0, ok),
-      facing=maps.table_scatter_set(ent.facing, slot, req_facing, ok))
+def _apply_balance(state: State, despawn: jax.Array, spawn_masks,
+                   cfg: EnvConfig) -> State:
+  """Apply balance deltas: removals, then spawns in class-priority order."""
+  T = state.ent.etype.astype(jnp.int32)
+  Hp = state.ent.health.astype(jnp.int32)
+  A = state.ent.aux.astype(jnp.int32)
+  T = jnp.where(despawn & (T > rules.E_PLAYER), 0, T)
+  for i, etype in enumerate(BAL_CLASSES):
+    ok = spawn_masks[i] & (T == 0)
+    T = jnp.where(ok, etype, T)
+    Hp = jnp.where(ok, TYPE_HEALTH[etype], Hp)
+    A = jnp.where(ok, 0, A)
+  ent = state.ent.replace(etype=T.astype(state.ent.etype.dtype),
+                          health=Hp.astype(state.ent.health.dtype),
+                          aux=A.astype(state.ent.aux.dtype))
   return state.replace(ent=ent)
 
 
@@ -672,71 +778,42 @@ def step(state: State, action: jax.Array,
   """One simulation tick (env.py:83-118).  Pure; jit/vmap/shard at will.
 
   ``balance``: None runs chunk balancing on the reference's per-env
-  cadence (every 10th step of each env, env.py:90).  True/False force the
-  phase on/off for this tick — the batched path (env.py:vec_step) uses a
-  *global* cadence under ``lax.cond`` so 9 of 10 ticks skip the phase's
-  compute entirely; since auto-resets desynchronize env-local step counts
+  cadence (every 10th step of each env, env.py:90) under a ``lax.cond`` so
+  9 of 10 ticks skip the phase's compute.  True/False force the phase
+  on/off for this tick — the batched path (env.py:vec_step) uses a *global*
+  cadence instead; since auto-resets desynchronize env-local step counts
   anyway, the cadence phase relative to episode start is the only
   (distribution-neutral) difference.
   """
+  w, h = cfg.area
   key, k_player, k_mob, k_balance = jax.random.split(state.key, 4)
   step_ = state.step + 1
   state = state.replace(step=step_, key=key)
 
   state, plant_spawn, plant_pos = _player_phase(state, action, k_player, cfg)
-  state, arrow_req = _mob_phase(state, k_mob, cfg, plant_spawn, plant_pos)
-
-  # Chunk balancing (env.py:90).  The phase returns masked deltas (despawn
-  # slots + spawn requests) rather than a whole new state: a full-state
-  # select per tick would copy ~25 KB/env/step.
-  n_bal = 3 * cfg.n_chunks[0] * cfg.n_chunks[1]
+  state = _mob_phase(state, k_mob, cfg, plant_spawn, plant_pos)
 
   def _no_balance(state, key):
-    del state, key
-    return (dict(valid=jnp.zeros((n_bal,), bool),
-                 slot=jnp.full((n_bal,), -1, jnp.int32)),
-            dict(valid=jnp.zeros((n_bal,), bool),
-                 pos=jnp.zeros((n_bal, 2), jnp.int32),
-                 etype=jnp.zeros((n_bal,), jnp.int32)))
+    del key
+    zero = jnp.zeros((w, h), bool)
+    return zero, [zero] * len(BAL_CLASSES)
 
   if balance is False:
-    despawn, bal_req = _no_balance(state, k_balance)
+    despawn, spawns = _no_balance(state, k_balance)
   elif balance is True:
-    despawn, bal_req = _balance_phase(state, k_balance, cfg)
+    despawn, spawns = _balance_phase(state, k_balance, cfg)
   else:
-    # Per-env cadence (env.py:90) under a real branch: 9 of 10 ticks skip
-    # the phase's compute entirely, for the single-env path too.
-    despawn, bal_req = jax.lax.cond(
+    despawn, spawns = jax.lax.cond(
         (step_ % cfg.balance_every) == 0,
         lambda s, k: _balance_phase(s, k, cfg), _no_balance,
         state, k_balance)
-  vok = despawn['valid']
-  vslot = despawn['slot']
-  state = state.replace(
-      ent=state.ent.replace(
-          etype=maps.table_scatter_set(state.ent.etype, vslot, 0, vok)))
-
-  state = _spawn_phase(state, cfg, plant_spawn, plant_pos, arrow_req,
-                       bal_req)
-
-  # Rebuild the occupancy map once from the entity table (cells are unique
-  # by construction); the hot path above queries occupancy via pairwise
-  # position matching (ops/maps.py:occupant) and never reads obj_map.
-  obj_map = maps.map_scatter(
-      jnp.zeros_like(state.obj_map), state.ent.pos,
-      jnp.arange(cfg.max_entities) + 1, state.ent.etype > 0)
-  state = state.replace(obj_map=obj_map)
+  state = _apply_balance(state, despawn, spawns, cfg)
 
   # Track chunks that held entities (the reference's defaultdict keys,
   # engine.py:36/:57/:78-79, consumed by env.py:90-95).
-  (csx, csy), (ncx, ncy) = cfg.chunk_size, cfg.n_chunks
-  live = state.ent.etype > 0
-  cid = jnp.where(
-      live, (state.ent.pos[:, 0] // csx) * ncy + state.ent.pos[:, 1] // csy,
-      -1)
-  touched = (state.chunk_touched.reshape(-1)
-             | (maps.table_scatter_add(ncx * ncy, cid, 1) > 0)
-             ).reshape(ncx, ncy)
+  occupied = _chunk_view(state.ent.etype.astype(jnp.int32), cfg, 0)
+  touched = (state.chunk_touched.reshape(-1) | (occupied > 0).any(-1))
+  touched = touched.reshape(cfg.n_chunks)
 
   # Reward and termination (env.py:97-107).
   hp = state.player.inventory[rules.ITEM_HEALTH]

@@ -130,67 +130,51 @@ def generate_world(key: jax.Array, cfg: EnvConfig) -> state_lib.State:
     mat = jnp.where(mask, jnp.uint8(mid), mat)
   tunnels = htun | vtun
 
-  # --- object pass (worldgen.py:64-76) ----------------------------------
+  # --- object pass (worldgen.py:64-76): entities are per-cell channels ---
   uo = jax.random.uniform(k_obj, (3, w, h))
-  walkable = jnp.asarray(tables.walkable_mob)[mat.astype(jnp.int32)]
+  walkable = _mat_in(mat, tables.walkable_mob)
   cow = (walkable & (dist > 3) & (mat == rules.MAT_GRASS)
          & (uo[0] > 0.985))                                    # (:71-72)
   zombie = walkable & ~cow & (dist > 10) & (uo[1] > 0.993)     # (:73-74)
   skeleton = (walkable & ~cow & ~zombie & (mat == rules.MAT_PATH)
               & tunnels & (uo[2] > 0.95))                      # (:75-76)
-  spawn_type = jnp.where(
+  etype = jnp.where(
       cow, rules.E_COW,
       jnp.where(zombie, rules.E_ZOMBIE,
                 jnp.where(skeleton, rules.E_SKELETON, rules.E_NONE)))
-
-  # Allocate slots 1.. in raster order (the reference's x-major scan order).
-  flat_type = spawn_type.reshape(-1)
-  is_spawn = flat_type > 0
-  slot = jnp.cumsum(is_spawn) - 1 + 1  # slot 0 is the player
-  k = cfg.max_entities
-  ok = is_spawn & (slot < k)
-  slot_or_oob = jnp.where(ok, slot, k)  # positive OOB → dropped
-
-  ent = state_lib.empty_entities(cfg)
-  flat_xy = xy.reshape(-1, 2)
-  init_health = jnp.asarray(
-      np.array([0, 0, 3, 5, 3, 0, 1], np.int32))[flat_type]
+  # Player spawns at the center, added before worldgen in the reference
+  # (env.py:71,76-78); worldgen spawn rules exclude the center anyway
+  # (cow dist>3, zombie dist>10, skeleton needs a tunnel).
+  etype = etype.at[cx, cy].set(rules.E_PLAYER)
   # cow 3 (objects.py:267), zombie 5 (:286), skeleton 3 (:319)
-  ent = ent.replace(
-      etype=ent.etype.at[slot_or_oob].set(flat_type, mode='drop'),
-      pos=ent.pos.at[slot_or_oob].set(flat_xy, mode='drop'),
-      health=ent.health.at[slot_or_oob].set(init_health, mode='drop'),
-  )
-  # Player occupies slot 0 (added before worldgen in the reference,
-  # env.py:76-78).
-  player_pos = jnp.asarray([cx, cy], jnp.int32)
-  ent = ent.replace(
-      etype=ent.etype.at[0].set(rules.E_PLAYER),
-      pos=ent.pos.at[0].set(player_pos),
-      health=ent.health.at[0].set(tables.item_initial[rules.ITEM_HEALTH]),
-  )
-
-  # obj_map: slot + 1 at every live entity cell.
-  obj_map = jnp.zeros((w, h), jnp.int32)
-  obj_map = obj_map.at[
-      jnp.where(ok, flat_xy[:, 0], w), flat_xy[:, 1]].set(
-          slot_or_oob + 1, mode='drop')
-  obj_map = obj_map.at[cx, cy].set(1)
+  health = jnp.where(
+      etype == rules.E_COW, 3,
+      jnp.where(etype == rules.E_ZOMBIE, 5,
+                jnp.where(etype == rules.E_SKELETON, 3, 0)))
+  ent = state_lib.EntMaps(
+      etype=etype.astype(jnp.uint8), health=health.astype(jnp.uint8),
+      aux=jnp.zeros((w, h), jnp.int16), facing=jnp.zeros((w, h), jnp.uint8))
 
   # Chunks that start with an object in them (engine.py:57 via defaultdict).
-  ncx, ncy = cfg.n_chunks
-  chunk_touched = jnp.zeros((ncx, ncy), bool)
-  ck_x = jnp.where(ok, flat_xy[:, 0] // cfg.chunk_size[0], ncx)
-  ck_y = flat_xy[:, 1] // cfg.chunk_size[1]
-  chunk_touched = chunk_touched.at[ck_x, ck_y].set(True, mode='drop')
-  chunk_touched = chunk_touched.at[
-      cx // cfg.chunk_size[0], cy // cfg.chunk_size[1]].set(True)
+  (csx, csy), (ncx, ncy) = cfg.chunk_size, cfg.n_chunks
+  padded = jnp.zeros((ncx * csx, ncy * csy), bool)
+  padded = padded.at[:w, :h].set(etype > 0)
+  chunk_touched = (padded.reshape(ncx, csx, ncy, csy)
+                   .transpose(0, 2, 1, 3).reshape(ncx, ncy, -1).any(-1))
 
-  player = state_lib.init_player()
+  player = state_lib.init_player(cfg)
   return state_lib.State(
-      mat_map=mat, obj_map=obj_map, ent=ent, player=player,
+      mat_map=mat, ent=ent, player=player,
       step=jnp.int32(0), key=jax.random.fold_in(key, 0x5eed),
       unlocked=jnp.zeros((rules.N_ACHIEVEMENTS,), bool),
       env_last_health=jnp.int32(tables.item_initial[rules.ITEM_HEALTH]),
       chunk_touched=chunk_touched,
   )
+
+
+def _mat_in(m: jax.Array, member_table) -> jax.Array:
+  """Per-cell material-set membership as a fused compare chain."""
+  out = jnp.zeros(m.shape, bool)
+  for i in np.flatnonzero(np.asarray(member_table)):
+    out = out | (m == np.uint8(i))
+  return out

@@ -28,7 +28,7 @@ class TestCheckpoint:
     a2, _, _ = jax.jit(lambda v, a: vec_step(v, a, cfg, 1))(
         restored, jnp.asarray([0, 1]))
     assert bool(jnp.all(a1.env.mat_map == a2.env.mat_map))
-    assert bool(jnp.all(a1.env.ent.pos == a2.env.ent.pos))
+    assert bool(jnp.all(a1.env.ent.etype == a2.env.ent.etype))
 
   def test_latest_step_tracking(self, tmp_path):
     ck = Checkpointer(tmp_path / 'ck')

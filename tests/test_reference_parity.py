@@ -206,9 +206,9 @@ class TestBalanceDynamics:
 
     st = run(vs.env, jax.random.key(9))
     et = np.asarray(st.ent.etype)
-    return dict(z=(et == rules.E_ZOMBIE).sum(1).mean(),
-                c=(et == rules.E_COW).sum(1).mean(),
-                s=(et == rules.E_SKELETON).sum(1).mean())
+    return dict(z=(et == rules.E_ZOMBIE).sum((1, 2)).mean(),
+                c=(et == rules.E_COW).sum((1, 2)).mean(),
+                s=(et == rules.E_SKELETON).sum((1, 2)).mean())
 
   def test_zombie_population(self, ref_pops, tpu_pops):
     # Post-night populations are dominated by balancing, high variance

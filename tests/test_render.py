@@ -39,9 +39,8 @@ def oracle_render(state, cfg, size=(64, 64), noise=None):
   grid = np.array(cfg.local_grid)
   unit = np.array([size[0] // cfg.view[0], size[1] // cfg.view[1]])
   offset = grid // 2
-  center = np.asarray(state.ent.pos[0])
+  center = np.asarray(state.player.pos)
   mat_map = np.asarray(state.mat_map)
-  obj_map = np.asarray(state.obj_map)
 
   canvas = np.zeros(tuple(grid * unit) + (3,), np.uint8) + 127
   for x in range(grid[0]):
@@ -63,31 +62,30 @@ def oracle_render(state, cfg, size=(64, 64), noise=None):
       t = (255 * (a * rgb + (1 - a) * cur)).astype(np.uint8)
     cv[x:x + w, y:y + h] = t
 
-  # Entities (cell-unique).
+  # Entities (cell-unique: they live in the grid).
   et = np.asarray(state.ent.etype)
   aux = np.asarray(state.ent.aux)
   fac = np.asarray(state.ent.facing)
   sleeping = bool(state.player.sleeping)
   pfac = int(state.player.facing)
   dirnames = ['left', 'right', 'up', 'down']
-  for slot in range(et.shape[0]):
-    if et[slot] == 0:
-      continue
-    pos = np.asarray(state.ent.pos[slot]) - center + offset
+  for cx, cy in np.argwhere(et > 0):
+    pos = np.array([cx, cy]) - center + offset
     if not (0 <= pos[0] < grid[0] and 0 <= pos[1] < grid[1]):
       continue
-    if et[slot] == rules.E_PLAYER:
+    e = et[cx, cy]
+    if e == rules.E_PLAYER:
       name = ('player-sleep' if sleeping else f'player-{dirnames[pfac]}')
-    elif et[slot] == rules.E_COW:
+    elif e == rules.E_COW:
       name = 'cow'
-    elif et[slot] == rules.E_ZOMBIE:
+    elif e == rules.E_ZOMBIE:
       name = 'zombie'
-    elif et[slot] == rules.E_SKELETON:
+    elif e == rules.E_SKELETON:
       name = 'skeleton'
-    elif et[slot] == rules.E_ARROW:
-      name = f'arrow-{dirnames[fac[slot]]}'
+    elif e == rules.E_ARROW:
+      name = f'arrow-{dirnames[fac[cx, cy]]}'
     else:
-      name = 'plant-ripe' if aux[slot] > 300 else 'plant'
+      name = 'plant-ripe' if aux[cx, cy] > 300 else 'plant'
     draw_alpha(canvas, pos * unit, tex(name, unit))
 
   # Lighting (engine.py:189-196).
@@ -142,8 +140,8 @@ class TestRenderParity:
     st = set_mat(st, (32, 33), rules.MAT_TREE)
     st = set_mat(st, (30, 31), rules.MAT_WATER)
     st = set_mat(st, (34, 30), rules.MAT_STONE)
-    st = add_entity(st, 1, rules.E_COW, (31, 30), health=3)
-    st = add_entity(st, 2, rules.E_ZOMBIE, (34, 34), health=5)
+    st = add_entity(st, rules.E_COW, (31, 30), health=3)
+    st = add_entity(st, rules.E_ZOMBIE, (34, 34), health=5)
     st = set_inv(st, wood=3, stone=1)
     got = device_render(st)
     want = oracle_render(st, CFG)
@@ -178,7 +176,7 @@ class TestRenderParity:
     assert got[..., 2].mean() > day[..., 2].mean()
 
   def test_arrow_facing_textures(self):
-    st = add_entity(make_state(), 1, rules.E_ARROW, (30, 32),
+    st = add_entity(make_state(), rules.E_ARROW, (30, 32),
                     facing=rules.DIR_UP)
     got = device_render(st)
     want = oracle_render(st, CFG)
@@ -192,8 +190,8 @@ class TestRenderParity:
     assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
 
   def test_ripe_plant_texture(self):
-    ripe = add_entity(make_state(), 1, rules.E_PLANT, (32, 31), aux=301)
-    young = add_entity(make_state(), 1, rules.E_PLANT, (32, 31), aux=10)
+    ripe = add_entity(make_state(), rules.E_PLANT, (32, 31), aux=301)
+    young = add_entity(make_state(), rules.E_PLANT, (32, 31), aux=10)
     assert (device_render(ripe) != device_render(young)).any()
     want = oracle_render(ripe, CFG)
     assert np.abs(device_render(ripe).astype(int)

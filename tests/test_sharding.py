@@ -41,7 +41,7 @@ class TestShardedEnv:
         svs, jax.device_put(actions, dp))
     assert bool(jnp.all(out_ref.reward == out_got.reward))
     assert bool(jnp.all(ref.env.mat_map == got.env.mat_map))
-    assert bool(jnp.all(ref.env.ent.pos == got.env.ent.pos))
+    assert bool(jnp.all(ref.env.ent.etype == got.env.ent.etype))
 
   def test_stats_allreduce_over_mesh(self):
     # Cross-host stats reduction: a psum over the mesh axis via shard_map.

@@ -3,6 +3,7 @@
 The reference has no tests (SURVEY.md §4); every case here is derived by
 hand from crafter/objects.py + crafter/env.py and cites the lines it checks.
 Worlds are constructed directly (not via worldgen) so each rule is isolated.
+Entities live in the grid (state.EntMaps), so assertions address cells.
 """
 
 import jax
@@ -13,7 +14,7 @@ import pytest
 from crafter_tpu import rules, step as step_lib
 from crafter_tpu import state as state_lib
 from crafter_tpu.config import EnvConfig
-from crafter_tpu.state import Entities, State
+from crafter_tpu.state import State
 
 CFG = EnvConfig()
 A = rules.ACTION_ID
@@ -22,36 +23,27 @@ A = rules.ACTION_ID
 def make_state(mat=rules.MAT_GRASS, player_pos=(32, 32), seed=0):
   """Uniform-material world with only the player."""
   w, h = CFG.area
-  mat_map = jnp.full((w, h), mat, jnp.uint8)
-  obj_map = jnp.zeros((w, h), jnp.int32)
-  ent = state_lib.empty_entities(CFG)
-  ent = ent.replace(
-      etype=ent.etype.at[0].set(rules.E_PLAYER),
-      pos=ent.pos.at[0].set(jnp.asarray(player_pos, jnp.int32)),
-      health=ent.health.at[0].set(9))
-  obj_map = obj_map.at[player_pos[0], player_pos[1]].set(1)
-  return State(
-      mat_map=mat_map, obj_map=obj_map, ent=ent,
-      player=state_lib.init_player(), step=jnp.int32(0),
+  state = State(
+      mat_map=jnp.full((w, h), mat, jnp.uint8),
+      ent=state_lib.empty_ent_maps(CFG),
+      player=state_lib.init_player(CFG), step=jnp.int32(0),
       key=jax.random.key(seed),
       unlocked=jnp.zeros((rules.N_ACHIEVEMENTS,), bool),
       env_last_health=jnp.int32(9),
       chunk_touched=jnp.zeros(CFG.n_chunks, bool))
+  return state_lib.add_entity(state, rules.E_PLAYER, player_pos, health=9)
 
 
 def set_mat(state, pos, mat):
   return state.replace(mat_map=state.mat_map.at[pos[0], pos[1]].set(mat))
 
 
-def add_entity(state, slot, etype, pos, health=1, aux=0, facing=0):
-  ent = state.ent.replace(
-      etype=state.ent.etype.at[slot].set(etype),
-      pos=state.ent.pos.at[slot].set(jnp.asarray(pos, jnp.int32)),
-      health=state.ent.health.at[slot].set(health),
-      aux=state.ent.aux.at[slot].set(aux),
-      facing=state.ent.facing.at[slot].set(facing))
-  obj_map = state.obj_map.at[pos[0], pos[1]].set(slot + 1)
-  return state.replace(ent=ent, obj_map=obj_map)
+def add_entity(state, etype, pos, health=1, aux=0, facing=0):
+  return state_lib.add_entity(state, etype, pos, health, aux, facing)
+
+
+def etype_at(state, pos):
+  return int(state.ent.etype[pos[0], pos[1]])
 
 
 def set_inv(state, **items):
@@ -74,24 +66,23 @@ class TestMovement:
   def test_move_and_facing(self):
     # objects.py:174-177: facing set, position updated on walkable material.
     s, _ = run(make_state(), A['move_left'])
-    assert tuple(s.ent.pos[0]) == (31, 32)
+    assert tuple(s.player.pos) == (31, 32)
     assert int(s.player.facing) == rules.DIR_LEFT
-    assert int(s.obj_map[31, 32]) == 1 and int(s.obj_map[32, 32]) == 0
+    assert etype_at(s, (31, 32)) == rules.E_PLAYER
+    assert etype_at(s, (32, 32)) == 0
 
   def test_blocked_by_material_still_faces(self):
     # objects.py:176: facing updates even when the move is blocked.
     st = set_mat(make_state(), (31, 32), rules.MAT_STONE)
     s, _ = run(st, A['move_left'])
-    assert tuple(s.ent.pos[0]) == (32, 32)
+    assert tuple(s.player.pos) == (32, 32)
     assert int(s.player.facing) == rules.DIR_LEFT
 
   def test_blocked_by_object(self):
-    st = add_entity(make_state(), 1, rules.E_COW, (31, 32), health=3)
-    # Freeze the cow far... cows move; use stone so cow can't move into us?
-    # Simpler: cow may wander but the player must not enter (31,32) pre-move.
+    st = add_entity(make_state(), rules.E_COW, (31, 32), health=3)
     s, _ = run(st, A['move_left'])
-    # Player can only be at 32,32 still (cell occupied at decision time).
-    assert tuple(s.ent.pos[0]) == (32, 32)
+    # Player cannot enter (31,32): occupied at decision time.
+    assert tuple(s.player.pos) == (32, 32)
 
   def test_lava_kills(self):
     # objects.py:178-179: stepping into lava sets health to 0.
@@ -104,7 +95,7 @@ class TestMovement:
   def test_walk_off_map_blocked(self):
     st = make_state(player_pos=(0, 32))
     s, _ = run(st, A['move_left'])
-    assert tuple(s.ent.pos[0]) == (0, 32)
+    assert tuple(s.player.pos) == (0, 32)
 
 
 class TestCollect:
@@ -170,10 +161,9 @@ class TestPlaceMake:
   def test_place_plant_spawns_entity(self):
     st = set_inv(make_state(), sapling=1)
     s, _ = run(st, A['place_plant'])
-    assert int(s.obj_map[32, 33]) > 0
-    slot = int(s.obj_map[32, 33]) - 1
-    assert int(s.ent.etype[slot]) == rules.E_PLANT
-    assert int(s.ent.aux[slot]) == 0  # placed plants do not grow this tick
+    assert etype_at(s, (32, 33)) == rules.E_PLANT
+    assert int(s.ent.aux[32, 33]) == 0  # placed plants do not grow this tick
+    assert int(s.ent.health[32, 33]) == 1
     assert int(s.player.achievements[rules.ACH_ID['place_plant']]) == 1
 
   def test_make_wood_pickaxe_needs_table(self):
@@ -207,7 +197,7 @@ class TestPlaceMake:
 class TestCombat:
   def test_attack_cow_and_eat(self):
     # objects.py:205-212: killing a cow grants +6 food and resets hunger.
-    st = add_entity(make_state(), 1, rules.E_COW, (32, 33), health=1)
+    st = add_entity(make_state(), rules.E_COW, (32, 33), health=1)
     st = set_inv(st, food=3)
     st = st.replace(player=st.player.replace(hunger=jnp.int32(40)))
     s, out = run(st, A['do'])
@@ -215,37 +205,39 @@ class TestCombat:
     assert int(s.player.achievements[rules.ACH_ID['eat_cow']]) == 1
     assert int(s.player.hunger) == 2  # reset then +2 awake
     # The cow dies in its own update this tick (health<=0 at start).
-    assert int(s.ent.etype[1]) == 0
-    assert int(s.obj_map[32, 33]) == 0
+    assert etype_at(s, (32, 33)) == 0
 
   def test_sword_damage_tiers(self):
     # objects.py:182-187: base 1, wood 2, stone 3, iron 5.
     for items, expected_hp in [({}, 4), (dict(wood_sword=1), 3),
                                (dict(stone_sword=1), 2),
                                (dict(iron_sword=1), 0)]:
-      st = add_entity(make_state(), 1, rules.E_ZOMBIE, (32, 33), health=5)
+      # Pen the zombie in stone so it stays put for the assertion.
+      st = make_state(mat=rules.MAT_STONE)
+      st = set_mat(st, (32, 32), rules.MAT_GRASS)
+      st = add_entity(st, rules.E_ZOMBIE, (32, 33), health=5, aux=3)
       st = set_inv(st, **items)
       s, _ = run(st, A['do'])
-      assert int(s.ent.health[1]) == expected_hp, items
+      assert int(s.ent.health[32, 33]) == expected_hp, items
 
   def test_defeat_zombie_achievement(self):
-    st = add_entity(make_state(), 1, rules.E_ZOMBIE, (32, 33), health=1)
+    st = add_entity(make_state(), rules.E_ZOMBIE, (32, 33), health=1)
     s, _ = run(st, A['do'])
     assert int(s.player.achievements[rules.ACH_ID['defeat_zombie']]) == 1
-    assert int(s.ent.etype[1]) == 0
+    assert etype_at(s, (32, 33)) == 0
 
   def test_eat_ripe_plant(self):
     # objects.py:188-192: only ripe plants (grown > 300) are edible.
-    st = add_entity(make_state(), 1, rules.E_PLANT, (32, 33), health=1,
+    st = add_entity(make_state(), rules.E_PLANT, (32, 33), health=1,
                     aux=301)
     st = set_inv(st, food=2)
     s, _ = run(st, A['do'])
     assert int(s.player.inventory[rules.ITEM_FOOD]) == 6
     assert int(s.player.achievements[rules.ACH_ID['eat_plant']]) == 1
-    assert int(s.ent.aux[1]) == 1  # grown reset to 0, then +1 this tick
+    assert int(s.ent.aux[32, 33]) == 1  # grown reset to 0, then +1 this tick
 
   def test_unripe_plant_not_eaten(self):
-    st = add_entity(make_state(), 1, rules.E_PLANT, (32, 33), health=1,
+    st = add_entity(make_state(), rules.E_PLANT, (32, 33), health=1,
                     aux=10)
     st = set_inv(st, food=2)
     s, _ = run(st, A['do'])
@@ -259,20 +251,20 @@ class TestZombie:
     st = make_state(mat=rules.MAT_STONE, player_pos=(32, 32))
     st = set_mat(st, (32, 32), rules.MAT_GRASS)
     st = set_mat(st, (32, 33), rules.MAT_GRASS)
-    st = add_entity(st, 1, rules.E_ZOMBIE, (32, 33), health=5)
+    st = add_entity(st, rules.E_ZOMBIE, (32, 33), health=5)
     s, out = run(st, A['noop'])
     assert int(s.player.inventory[rules.ITEM_HEALTH]) == 7
-    assert int(s.ent.aux[1]) == 5
+    assert int(s.ent.aux[32, 33]) == 5
     assert float(out.reward) == pytest.approx(-0.2)
     # Next tick: cooldown ticks down instead of damage.
     s2, _ = run(s, A['noop'])
     assert int(s2.player.inventory[rules.ITEM_HEALTH]) == 7
-    assert int(s2.ent.aux[1]) == 4
+    assert int(s2.ent.aux[32, 33]) == 4
 
   def test_zombie_hits_sleeping_player_for_7(self):
     st = make_state(mat=rules.MAT_STONE, player_pos=(32, 32))
     st = set_mat(st, (32, 33), rules.MAT_GRASS)
-    st = add_entity(st, 1, rules.E_ZOMBIE, (32, 33), health=5)
+    st = add_entity(st, rules.E_ZOMBIE, (32, 33), health=5)
     st = set_inv(st, energy=3)
     st = st.replace(player=st.player.replace(sleeping=jnp.asarray(True)))
     s, _ = run(st, A['noop'])
@@ -282,71 +274,72 @@ class TestZombie:
     # objects.py:294-312: removal at update start does not skip the attack.
     st = make_state(mat=rules.MAT_STONE, player_pos=(32, 32))
     st = set_mat(st, (32, 33), rules.MAT_GRASS)
-    st = add_entity(st, 1, rules.E_ZOMBIE, (32, 33), health=0)
+    st = add_entity(st, rules.E_ZOMBIE, (32, 33), health=0)
     s, _ = run(st, A['noop'])
-    assert int(s.ent.etype[1]) == 0  # removed
+    assert etype_at(s, (32, 33)) == 0  # removed
     assert int(s.player.inventory[rules.ITEM_HEALTH]) == 7  # but it hit us
 
 
 class TestArrow:
   def test_arrow_flies(self):
-    st = add_entity(make_state(), 1, rules.E_ARROW, (28, 28),
+    st = add_entity(make_state(), rules.E_ARROW, (28, 28),
                     facing=rules.DIR_RIGHT)
     s, _ = run(st, A['noop'])
-    assert tuple(s.ent.pos[1]) == (29, 28)
-    assert int(s.obj_map[29, 28]) == 2 and int(s.obj_map[28, 28]) == 0
+    assert etype_at(s, (29, 28)) == rules.E_ARROW
+    assert int(s.ent.facing[29, 28]) == rules.DIR_RIGHT
+    assert etype_at(s, (28, 28)) == 0
 
   def test_arrow_hits_player(self):
-    st = add_entity(make_state(), 1, rules.E_ARROW, (31, 32),
+    st = add_entity(make_state(), rules.E_ARROW, (31, 32),
                     facing=rules.DIR_RIGHT)
     s, _ = run(st, A['noop'])
     assert int(s.player.inventory[rules.ITEM_HEALTH]) == 7
-    assert int(s.ent.etype[1]) == 0  # despawned on hit
+    assert etype_at(s, (31, 32)) == 0  # despawned on hit
 
   def test_arrow_destroys_table(self):
     # objects.py:380-382: table/furnace hit by an arrow becomes path.
     st = set_mat(make_state(), (29, 28), rules.MAT_TABLE)
-    st = add_entity(st, 1, rules.E_ARROW, (28, 28), facing=rules.DIR_RIGHT)
+    st = add_entity(st, rules.E_ARROW, (28, 28), facing=rules.DIR_RIGHT)
     s, _ = run(st, A['noop'])
     assert int(s.mat_map[29, 28]) == rules.MAT_PATH
-    assert int(s.ent.etype[1]) == 0
+    assert etype_at(s, (28, 28)) == 0
 
   def test_arrow_despawns_on_stone(self):
     st = set_mat(make_state(), (29, 28), rules.MAT_STONE)
-    st = add_entity(st, 1, rules.E_ARROW, (28, 28), facing=rules.DIR_RIGHT)
+    st = add_entity(st, rules.E_ARROW, (28, 28), facing=rules.DIR_RIGHT)
     s, _ = run(st, A['noop'])
     assert int(s.mat_map[29, 28]) == rules.MAT_STONE
-    assert int(s.ent.etype[1]) == 0
+    assert etype_at(s, (28, 28)) == 0
 
   def test_arrow_crosses_water(self):
     # objects.py:369-371: arrows fly over water and lava.
     st = set_mat(make_state(), (29, 28), rules.MAT_WATER)
-    st = add_entity(st, 1, rules.E_ARROW, (28, 28), facing=rules.DIR_RIGHT)
+    st = add_entity(st, rules.E_ARROW, (28, 28), facing=rules.DIR_RIGHT)
     s, _ = run(st, A['noop'])
-    assert tuple(s.ent.pos[1]) == (29, 28)
+    assert etype_at(s, (29, 28)) == rules.E_ARROW
 
 
 class TestPlant:
   def test_plant_grows(self):
-    st = add_entity(make_state(), 1, rules.E_PLANT, (28, 28), health=1)
+    st = add_entity(make_state(), rules.E_PLANT, (28, 28), health=1)
     s, _ = run(st, A['noop'])
-    assert int(s.ent.aux[1]) == 1
+    assert int(s.ent.aux[28, 28]) == 1
 
   def test_plant_eaten_by_adjacent_cow(self):
     # objects.py:405-411 — pen the cow in stone so it stays adjacent.
     st = make_state(mat=rules.MAT_STONE)
     st = set_mat(st, (32, 32), rules.MAT_GRASS)
-    st = add_entity(st, 1, rules.E_PLANT, (28, 28), health=1)
+    st = add_entity(st, rules.E_PLANT, (28, 28), health=1)
     st = set_mat(st, (28, 29), rules.MAT_GRASS)
-    st = add_entity(st, 2, rules.E_COW, (28, 29), health=3)
+    st = add_entity(st, rules.E_COW, (28, 29), health=3)
     s, _ = run(st, A['noop'])
-    assert int(s.ent.etype[1]) == 0  # health 1 -> 0 -> removed
+    assert etype_at(s, (28, 28)) == 0  # health 1 -> 0 -> removed
 
   def test_far_plant_frozen(self):
     # env.py:87-89: objects beyond L1 distance 18 do not update.
-    st = add_entity(make_state(), 1, rules.E_PLANT, (2, 2), health=1)
+    st = add_entity(make_state(), rules.E_PLANT, (2, 2), health=1)
     s, _ = run(st, A['noop'])
-    assert int(s.ent.aux[1]) == 0
+    assert int(s.ent.aux[2, 2]) == 0
 
 
 class TestLifeStats:
@@ -440,13 +433,13 @@ class TestBalance:
     assert zombies > 0
 
   def test_no_spawn_in_untouched_chunks(self):
-    st = make_state()  # chunk_touched all false except... none set
+    st = make_state()  # only the player's chunk ever becomes touched
     s = st
     for _ in range(50):
       s, _ = run(s, A['noop'])
     # Only chunks that ever held an entity balance; the player's own chunk
     # becomes touched, so spawns can only be there (and are blocked by the
     # span distance 6 within a 12x12 chunk most of the time).
-    zpos = s.ent.pos[s.ent.etype == rules.E_ZOMBIE]
-    for p in np.asarray(zpos):
+    zpos = np.argwhere(np.asarray(s.ent.etype) == rules.E_ZOMBIE)
+    for p in zpos:
       assert (p // 12 == np.asarray([32, 32]) // 12).all()

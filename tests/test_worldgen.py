@@ -19,12 +19,10 @@ def world():
 
 def test_shapes_and_player(world):
   assert world.mat_map.shape == (64, 64)
-  assert world.obj_map.shape == (64, 64)
-  assert world.ent.etype.shape == (CFG.max_entities,)
-  # Player at center in slot 0 (env.py:71,76-78).
-  assert world.ent.etype[0] == rules.E_PLAYER
-  assert tuple(world.ent.pos[0]) == (32, 32)
-  assert world.obj_map[32, 32] == 1
+  assert world.ent.etype.shape == (64, 64)
+  # Player at center (env.py:71,76-78).
+  assert world.ent.etype[32, 32] == rules.E_PLAYER
+  assert tuple(world.player.pos) == (32, 32)
   assert world.player.inventory[rules.ITEM_HEALTH] == 9
 
 
@@ -46,34 +44,31 @@ def test_material_distribution(world):
   assert (m != 0).all()                 # every cell gets a material
 
 
-def test_obj_map_consistent_with_entities(world):
-  obj = np.asarray(world.obj_map)
+def test_entity_channels_consistent(world):
+  # A cell is an entity iff etype is set; channels agree with spawn rules.
   et = np.asarray(world.ent.etype)
-  pos = np.asarray(world.ent.pos)
-  live = np.nonzero(et > 0)[0]
-  for slot in live:
-    assert obj[pos[slot, 0], pos[slot, 1]] == slot + 1
-  # No stale pointers.
-  assert (np.unique(obj[obj > 0]) - 1 == np.sort(live)).all()
+  assert ((et == 0) | (et <= rules.E_PLANT)).all()
+  assert (np.asarray(world.ent.aux) == 0).all()      # fresh world: no timers
+  assert (np.asarray(world.ent.facing) == 0).all()   # no arrows yet
+  assert (np.asarray(world.ent.health)[et == 0] == 0).all()
 
 
 def test_mob_spawn_rules(world):
   et = np.asarray(world.ent.etype)
-  pos = np.asarray(world.ent.pos)
   m = np.asarray(world.mat_map)
-  dist = np.sqrt(((pos - np.array([32, 32])) ** 2).sum(-1))
-  for slot in np.nonzero(et == rules.E_COW)[0]:
-    assert m[pos[slot, 0], pos[slot, 1]] == rules.MAT_GRASS  # worldgen.py:71
-    assert dist[slot] > 3
-  for slot in np.nonzero(et == rules.E_ZOMBIE)[0]:
-    assert dist[slot] > 10                                   # worldgen.py:73
-  for slot in np.nonzero(et == rules.E_SKELETON)[0]:
-    assert m[pos[slot, 0], pos[slot, 1]] == rules.MAT_PATH   # worldgen.py:75
+  xs, ys = np.meshgrid(np.arange(64), np.arange(64), indexing='ij')
+  dist = np.sqrt((xs - 32.0) ** 2 + (ys - 32.0) ** 2)
+  cow, zom, skel = (et == rules.E_COW), (et == rules.E_ZOMBIE), (
+      et == rules.E_SKELETON)
+  assert (m[cow] == rules.MAT_GRASS).all()   # worldgen.py:71
+  assert (dist[cow] > 3).all()
+  assert (dist[zom] > 10).all()              # worldgen.py:73
+  assert (m[skel] == rules.MAT_PATH).all()   # worldgen.py:75
   # Initial healths (objects.py:267,286,319).
   h = np.asarray(world.ent.health)
-  assert (h[et == rules.E_COW] == 3).all()
-  assert (h[et == rules.E_ZOMBIE] == 5).all()
-  assert (h[et == rules.E_SKELETON] == 3).all()
+  assert (h[cow] == 3).all()
+  assert (h[zom] == 5).all()
+  assert (h[skel] == 3).all()
 
 
 def test_deterministic_and_seed_sensitive():
@@ -109,8 +104,8 @@ def test_average_spawn_counts():
   batch = jax.jit(jax.vmap(worldgen.generate_world, in_axes=(0, None)),
                   static_argnums=1)(keys, CFG)
   et = np.asarray(batch.ent.etype)
-  cows = (et == rules.E_COW).sum(-1).mean()
-  zombies = (et == rules.E_ZOMBIE).sum(-1).mean()
+  cows = (et == rules.E_COW).sum((-2, -1)).mean()
+  zombies = (et == rules.E_ZOMBIE).sum((-2, -1)).mean()
   # ~grass_cells * 0.015 cows; grass is typically 1000-2500 of 4096 cells.
   assert 5 < cows < 60
   assert 1 < zombies < 40
@@ -123,10 +118,8 @@ def test_semantic_view(world):
   assert sem[32, 32] == rules.N_MATERIALS
   # Entity cells carry entity ids, everything else material ids.
   et = np.asarray(world.ent.etype)
-  pos = np.asarray(world.ent.pos)
-  for slot in np.nonzero(et > 0)[0]:
-    assert sem[pos[slot, 0], pos[slot, 1]] == rules.N_MATERIALS + et[slot] - 1
-  assert (sem[np.asarray(world.obj_map) == 0] < rules.N_MATERIALS).all()
+  assert (sem[et > 0] == rules.N_MATERIALS + et[et > 0] - 1).all()
+  assert (sem[et == 0] < rules.N_MATERIALS).all()
 
 
 def test_pallas_noise_mode_matches_fast():
