@@ -25,6 +25,7 @@ _LAZY = {
     'register_gym_envs': ('crafter_tpu.env', 'register_gym_envs'),
     'PPO': ('crafter_tpu.ppo', 'PPO'),
     'PPOConfig': ('crafter_tpu.ppo', 'PPOConfig'),
+    'ParityEnv': ('crafter_tpu.parity', 'ParityEnv'),
 }
 
 
