@@ -1,24 +1,79 @@
-"""Offline evaluation: success rates, Crafter score, stats aggregation.
+"""Offline evaluation: the Crafter score and its data pipeline.
 
-Reimplements the reference's metric pipeline so runs recorded by either
-engine score identically (reference: analysis/common.py:8-75,
-analysis/read_metrics.py:10-64).  The golden tests reproduce the published
-numbers from the reference's bundled score JSONs (random 1.6 ± 0.0, human
-50.5 ± 6.8; README.md:147,153).
+The benchmark's metric is a *budgeted geometric mean of achievement success
+rates*: within a 1M-env-step budget, each of the 22 achievements gets a
+success rate p_t (percent of episodes that unlocked it at least once), and
+
+    score = exp( mean_t( log(1 + p_t) ) ) - 1
+
+(the +1 offset keeps never-unlocked tasks finite; reference:
+analysis/common.py:47-55).  Everything in this module exists to produce,
+aggregate, or consume those rates in the reference's interchange formats —
+``stats.jsonl`` episode logs and ``scores/{task}-{method}.json`` run files —
+so results are comparable number-for-number.  The golden tests reproduce
+the published values from the reference's bundled score JSONs (random
+1.6 ± 0.0, human 50.5 ± 6.8; README.md:147,153).
 """
 
 from __future__ import annotations
 
-import collections
 import json
 import pathlib
 import warnings
 
 import numpy as np
 
+ACH_PREFIX = 'achievement_'
+
+
+def compute_scores(percents: np.ndarray) -> np.ndarray:
+  """Crafter score over the trailing task axis (analysis/common.py:47-55).
+
+  NaN entries (missing method x seed combinations) pass the range guard
+  and propagate through ``nanmean`` as in the rest of the pipeline.
+  """
+  ok = ((0 <= percents) & (percents <= 100)) | np.isnan(percents)
+  assert ok.all()
+  with warnings.catch_warnings():
+    warnings.simplefilter('ignore', category=RuntimeWarning)
+    return np.exp(np.nanmean(np.log(1 + percents), -1)) - 1
+
+
+def run_success_rates(run: dict, budget: float) -> dict:
+  """One run's per-achievement success %, episodes truncated at budget."""
+  n = int((np.asarray(run['xs']) <= budget).sum())
+  return {key: 100.0 * (np.asarray(values[:n]) >= 1).mean()
+          for key, values in run.items() if key.startswith(ACH_PREFIX)}
+
+
+def compute_success_rates(runs, budget=1e6, sortby=None):
+  """(methods, seeds, tasks) percent tensor from a list of runs.
+
+  Semantics follow analysis/common.py:23-44: axes are the sorted unique
+  methods/seeds, tasks are the sorted achievement keys, missing
+  (method, seed) combinations stay NaN.  ``sortby`` (a method name or
+  index) reorders tasks by that method's mean rate, descending.
+  """
+  methods = sorted({run['method'] for run in runs})
+  seeds = sorted({run['seed'] for run in runs})
+  tasks = sorted(k for k in runs[0] if k.startswith(ACH_PREFIX))
+  index = {(m, s): (i, j) for i, m in enumerate(methods)
+           for j, s in enumerate(seeds)}
+  percents = np.full((len(methods), len(seeds), len(tasks)), np.nan)
+  for run in runs:
+    i, j = index[(run['method'], run['seed'])]
+    rates = run_success_rates(run, budget)
+    percents[i, j] = [rates.get(t, np.nan) for t in tasks]
+  if sortby is not None:
+    ref = methods.index(sortby) if isinstance(sortby, str) else sortby
+    order = np.argsort(-np.nanmean(percents[ref], 0))
+    percents = percents[..., order]
+    tasks = [tasks[k] for k in order]
+  return percents, methods, seeds, tasks
+
 
 def load_runs(filenames, budget=1e6, verbose=False):
-  """Load score-JSON runs; warn on short runs (common.py:8-20)."""
+  """Load score-JSON files (each a run dict or a list of run dicts)."""
   runs = []
   for filename in filenames:
     loaded = json.loads(pathlib.Path(filename).read_text())
@@ -29,86 +84,69 @@ def load_runs(filenames, budget=1e6, verbose=False):
   return runs
 
 
-def compute_success_rates(runs, budget=1e6, sortby=None):
-  """% of episodes (within budget) with each achievement unlocked
-  (common.py:23-44): returns (methods, seeds, tasks) percent array."""
-  methods = sorted(set(run['method'] for run in runs))
-  seeds = sorted(set(run['seed'] for run in runs))
-  tasks = sorted(key for key in runs[0] if key.startswith('achievement_'))
-  percents = np.full((len(methods), len(seeds), len(tasks)), np.nan)
-  for run in runs:
-    episodes = (np.array(run['xs']) <= budget).sum()
-    i = methods.index(run['method'])
-    j = seeds.index(run['seed'])
-    for key, values in run.items():
-      if key in tasks:
-        k = tasks.index(key)
-        percents[i, j, k] = 100 * (np.array(values[:episodes]) >= 1).mean()
-  if isinstance(sortby, (str, int)):
-    if isinstance(sortby, str):
-      sortby = methods.index(sortby)
-    order = np.argsort(-np.nanmean(percents[sortby], 0), -1)
-    percents = percents[:, :, order]
-    tasks = np.array(tasks)[order].tolist()
-  return percents, methods, seeds, tasks
-
-
-def compute_scores(percents):
-  """Crafter score: S = exp(mean(log(1 + p))) - 1 over the 22 tasks —
-  geometric mean with a +1% offset (common.py:47-55)."""
-  assert (0 <= percents).all() and (percents <= 100).all()
-  with warnings.catch_warnings():
-    warnings.simplefilter('ignore', category=RuntimeWarning)
-    return np.exp(np.nanmean(np.log(1 + percents), -1)) - 1
-
-
 def binning(xs, ys, borders, reducer=np.nanmean, fill='nan'):
-  """Reduce (xs, ys) into buckets for training curves (common.py:58-75)."""
-  xs, ys = np.array(xs), np.array(ys)
+  """Reduce (xs, ys) samples into border-delimited buckets (curves).
+
+  Matches analysis/common.py:58-75: bucket (a, b] holds samples with
+  a < x <= b; empty buckets are NaN or carry the last value (``fill``).
+  Implemented with one searchsorted over the sorted xs.
+  """
+  xs, ys = np.asarray(xs), np.asarray(ys)
   order = np.argsort(xs)
   xs, ys = xs[order], ys[order]
-  binned = []
+  edges = np.searchsorted(xs, np.asarray(borders), side='right')
+  out = []
   with warnings.catch_warnings():
     warnings.simplefilter('ignore', category=RuntimeWarning)
-    for start, stop in zip(borders[:-1], borders[1:]):
-      left = (xs <= start).sum()
-      right = (xs <= stop).sum()
-      if left < right:
-        value = reducer(ys[left:right])
-      elif binned:
-        value = {'nan': np.nan, 'last': binned[-1]}[fill]
+    for left, right in zip(edges[:-1], edges[1:]):
+      if right > left:
+        out.append(reducer(ys[left:right]))
+      elif fill == 'last' and out:
+        out.append(out[-1])
       else:
-        value = np.nan
-      binned.append(value)
-  return borders[1:], np.array(binned)
+        out.append(np.nan)
+  return borders[1:], np.array(out)
+
+
+# ---------------------------------------------------------------------------
+# stats.jsonl -> score-JSON aggregation (analysis/read_metrics.py surface).
+# ---------------------------------------------------------------------------
 
 
 def load_stats(filename, budget=int(1e6)):
-  """One stats.jsonl -> (rewards, lengths, achievements), truncated at the
-  budget, with reward recomputed as `unlocks - 0.9`
-  (read_metrics.py:45-64)."""
+  """Parse one ``stats.jsonl`` into (rewards, lengths, achievements).
+
+  Episodes stop at the budget (the episode crossing it is dropped), and the
+  reported reward is *recomputed* from the episode's unlock count as
+  ``unlocks - 0.9`` — the score pipeline's canonical reward, independent of
+  what reward signal the env emitted (read_metrics.py:45-64).
+  """
+  episodes = []
   steps = 0
-  rewards, lengths = [], []
-  achievements = collections.defaultdict(list)
-  for line in pathlib.Path(filename).read_text().split('\n'):
+  for line in pathlib.Path(filename).read_text().splitlines():
     if not line.strip():
       continue
     episode = json.loads(line)
     steps += episode['length']
     if steps > budget:
       break
-    lengths.append(episode['length'])
-    for key, value in episode.items():
-      if key.startswith('achievement_'):
-        achievements[key].append(value)
-    unlocks = int(np.sum([(v[-1] >= 1) for v in achievements.values()]))
-    rewards.append(unlocks - 0.9)
+    episodes.append(episode)
+  lengths = [ep['length'] for ep in episodes]
+  achievements = {key: [ep[key] for ep in episodes]
+                  for key in (episodes[0] if episodes else {})
+                  if key.startswith(ACH_PREFIX)}
+  rewards = [
+      sum(int(ep[key] >= 1) for key in achievements) - 0.9
+      for ep in episodes]
   return rewards, lengths, achievements
 
 
 def read_stats(indir, outdir, task, method, budget=int(1e6)):
-  """Aggregate logdir/**/stats.jsonl into scores/{task}-{method}.json
-  (read_metrics.py:10-42); incomplete runs are skipped."""
+  """Aggregate ``indir/**/stats.jsonl`` into ``outdir/{task}-{method}.json``.
+
+  Each stats file becomes one run (seed = its index); runs shorter than
+  the budget are skipped (read_metrics.py:10-42).
+  """
   indir, outdir = pathlib.Path(indir), pathlib.Path(outdir)
   runs = []
   for index, filename in enumerate(sorted(indir.glob('**/stats.jsonl'))):
@@ -129,8 +167,8 @@ def read_stats(indir, outdir, task, method, budget=int(1e6)):
 
 
 def crafter_score(filenames, budget=1e6):
-  """Convenience: mean ± std Crafter score across seeds for score JSONs."""
-  runs = load_runs(filenames, budget)
-  percents, methods, seeds, tasks = compute_success_rates(runs, budget)
+  """Mean ± std Crafter score across seeds for a set of score JSONs."""
+  percents, _, _, _ = compute_success_rates(load_runs(filenames, budget),
+                                            budget)
   scores = compute_scores(percents)
   return np.nanmean(scores, -1), np.nanstd(scores, -1)

@@ -31,12 +31,17 @@ class EnvConfig:
   chunk_size: Tuple[int, int] = (12, 12)  # env.py:40
   day_length: int = 300                # daylight period (env.py:135-139)
   balance_every: int = 10              # chunk-balance cadence (env.py:90)
-  # Worldgen noise gradient hash: 'fast' = arithmetic mix (pure VPU, no
-  # table gathers — the TPU default), 'pallas' = the same arithmetic fused
-  # into one Pallas kernel (bit-agrees with 'fast'; 11x faster standalone,
-  # ops/noise_pallas.py), 'compat' = the original OpenSimplex 256-entry
-  # permutation table (ops/noise.py).  All distribution-equivalent.
-  noise_mode: str = 'fast'
+  # Worldgen noise gradient hash: 'pallas' = the candidate loop fused into
+  # one Pallas kernel (ops/noise_pallas.py), 'fast' = the same arithmetic
+  # as a lax.scan (pure jnp), 'compat' = the original OpenSimplex 256-entry
+  # permutation table (ops/noise.py), 'auto' = pallas on TPU backends else
+  # fast.  'pallas' and 'fast' bit-agree; all are distribution-equivalent.
+  noise_mode: str = 'auto'
+  # Batched tick engine: 'pallas' fuses the whole mob phase into one TPU
+  # kernel (every intermediate in VMEM; bit-identical to 'jnp' — same
+  # _mob_core trace), 'jnp' vmaps the per-env step, 'auto' picks pallas on
+  # TPU backends.
+  engine: str = 'auto'
 
   def __post_init__(self):
     # The one-hot map/table primitives run in bfloat16, which is exact only

@@ -265,10 +265,10 @@ def vec_step(vs: VecState, actions: jax.Array, cfg: EnvConfig,
   tick = vs.tick + 1
   env, out = jax.lax.cond(
       (tick % cfg.balance_every) == 0,
-      lambda e, a: jax.vmap(
-          lambda s, a_: step_lib.step(s, a_, cfg, balance=True))(e, a),
-      lambda e, a: jax.vmap(
-          lambda s, a_: step_lib.step(s, a_, cfg, balance=False))(e, a),
+      lambda e, a: step_lib.step_batch(e, a, cfg, balance=True,
+                                       engine=cfg.engine),
+      lambda e, a: step_lib.step_batch(e, a, cfg, balance=False,
+                                       engine=cfg.engine),
       vs.env, actions)
   stepped_env = env
 
@@ -366,7 +366,7 @@ class VecEnv:
     self.num_envs = num_envs
     self.cfg = cfg
     self.core = CrafterEnv(cfg)
-    self.reset_batch = min(num_envs, reset_batch or max(64, num_envs // 32))
+    self.reset_batch = min(num_envs, reset_batch or max(32, num_envs // 128))
     self._sharding = sharding
     self._home = home_keys(seed, num_envs)
     self._observe = jax.jit(jax.vmap(self.core.observe))

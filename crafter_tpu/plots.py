@@ -1,10 +1,12 @@
 """Plot and table generation for Crafter scores.
 
-Host-side, format-compatible equivalents of the reference's analysis
-scripts (reference: analysis/plot_scores.py, plot_spectrum.py,
-plot_counts.py, plot_reward.py, print_scores.py, print_spectrum.py,
-print_reward.py), driven from score JSONs produced by
-``crafter_tpu.analysis.read_stats``.
+Host-side equivalents of the reference's analysis scripts (reference:
+analysis/plot_scores.py, plot_spectrum.py, plot_counts.py, plot_reward.py,
+print_scores.py, print_spectrum.py, print_reward.py), driven from the score
+JSONs produced by ``crafter_tpu.analysis.read_stats``.  Figure geometry and
+palette follow the reference's published charts so outputs are visually
+comparable; the implementation is organized around three shared helpers
+(legend resolution, per-method binned curves, figure save).
 
 CLI: ``python -m crafter_tpu.plots scores|spectrum|reward|counts|tables
 --inpaths a.json b.json --outpath plot.png``
@@ -25,10 +27,40 @@ COLORS = ('#377eb8', '#5fc35d', '#984ea3', '#bf3217', '#de9f42', '#6a554d',
 
 
 def _legend(runs, legend=None):
+  """method -> display label, defaulting to title-cased method names."""
   if legend:
     return legend
   methods = sorted(set(run['method'] for run in runs))
   return {x: x.replace('_', ' ').title() for x in methods}
+
+
+def _save(fig, outpath):
+  pathlib.Path(outpath).parent.mkdir(exist_ok=True, parents=True)
+  fig.savefig(outpath)
+  return outpath
+
+
+def _strip_spines(ax, sides=('top', 'right', 'bottom')):
+  for side in sides:
+    ax.spines[side].set_visible(False)
+
+
+def _task_label(task):
+  return task[len('achievement_'):].replace('_', ' ').title()
+
+
+def _method_curves(runs, method, column, borders, transform=None):
+  """Binned training curves of ``column`` for every run of a method."""
+  curves = []
+  for run in runs:
+    if run['method'] != method:
+      continue
+    ys = np.asarray(run[column])
+    if transform is not None:
+      ys = transform(ys)
+    _, binned = analysis.binning(run['xs'], ys, borders, fill='last')
+    curves.append(binned)
+  return curves
 
 
 def plot_scores(inpaths, outpath, legend=None, colors=COLORS, budget=1e6,
@@ -44,11 +76,10 @@ def plot_scores(inpaths, outpath, legend=None, colors=COLORS, budget=1e6,
 
   fig, ax = plt.subplots(figsize=(4, 3))
   centers = np.arange(len(legend))
-  colors = list(reversed(list(colors)[:len(legend)]))
-  ax.bar(centers, mean, yerr=std, color=colors,
+  ax.bar(centers, mean, yerr=std,
+         color=list(reversed(list(colors)[:len(legend)])),
          error_kw=dict(capsize=5, c='#000'))
-  for side in ('top', 'right', 'bottom'):
-    ax.spines[side].set_visible(False)
+  _strip_spines(ax)
   ax.set_xticks(centers)
   ax.set_xticklabels(list(legend.values()), rotation=45, ha='right',
                      rotation_mode='anchor')
@@ -56,9 +87,7 @@ def plot_scores(inpaths, outpath, legend=None, colors=COLORS, budget=1e6,
   if ylim:
     ax.set_ylim(0, ylim)
   fig.tight_layout()
-  pathlib.Path(outpath).parent.mkdir(exist_ok=True, parents=True)
-  fig.savefig(outpath)
-  return outpath
+  return _save(fig, outpath)
 
 
 def plot_spectrum(inpaths, outpath, legend=None, colors=COLORS, budget=1e6,
@@ -67,7 +96,7 @@ def plot_spectrum(inpaths, outpath, legend=None, colors=COLORS, budget=1e6,
   import matplotlib.pyplot as plt
   runs = analysis.load_runs(inpaths, budget)
   legend = _legend(runs, legend)
-  # The reference passes `sort and key` here, and `False` *is* an int to
+  # The reference passes `sort and key`, and `False` *is* an int to
   # isinstance, accidentally sorting by method 0 (plot_spectrum.py:11-12);
   # pass None explicitly instead.
   percents, methods, _, tasks = analysis.compute_success_rates(
@@ -81,11 +110,10 @@ def plot_spectrum(inpaths, outpath, legend=None, colors=COLORS, budget=1e6,
     pos = centers + width * (0.5 / len(methods) + index / len(methods) - 0.5)
     ax.bar(pos, heights, width / len(legend), label=label,
            color=colors[index % len(colors)])
-  names = [x[len('achievement_'):].replace('_', ' ').title() for x in tasks]
-  for side in ('top', 'right', 'bottom'):
-    ax.spines[side].set_visible(False)
+  _strip_spines(ax)
   ax.set_xticks(centers)
-  ax.set_xticklabels(names, rotation=45, ha='right', rotation_mode='anchor')
+  ax.set_xticklabels([_task_label(t) for t in tasks], rotation=45,
+                     ha='right', rotation_mode='anchor')
   ax.set_ylabel('Success Rate (%)')
   ax.set_yscale('log')
   ax.set_ylim(0.01, 100)
@@ -94,32 +122,22 @@ def plot_spectrum(inpaths, outpath, legend=None, colors=COLORS, budget=1e6,
   fig.tight_layout(rect=(0, 0, 1, 0.95))
   fig.legend(loc='upper center', ncol=10, frameon=False, borderpad=0,
              borderaxespad=0)
-  pathlib.Path(outpath).parent.mkdir(exist_ok=True, parents=True)
-  fig.savefig(outpath)
-  return outpath
+  return _save(fig, outpath)
 
 
-def plot_reward(inpaths, outpath, legend=None, colors=COLORS, budget=1e6,
-                cols=1):
-  """Reward training curves with the optimal-22 line
-  (plot_reward.py:10-54)."""
+def plot_reward(inpaths, outpath, legend=None, colors=COLORS, budget=1e6):
+  """Reward training curves with the optimal-22 line (plot_reward.py:10-54)."""
   import matplotlib.pyplot as plt
   runs = analysis.load_runs(inpaths, budget)
   legend = _legend(runs, legend)
+  borders = np.arange(0, budget, 1e4)
   fig, ax = plt.subplots(figsize=(4, 3))
   ax.axhline(22, c='#888888', ls='--', lw=1)  # optimal = 22 achievements
-  borders = np.arange(0, budget, 1e4)
   for index, (method, label) in enumerate(legend.items()):
-    relevant = [run for run in runs if run['method'] == method]
-    if not relevant:
+    curves = _method_curves(runs, method, 'reward', borders)
+    if not curves:
       continue
-    curves = []
-    for run in relevant:
-      xs, ys = analysis.binning(run['xs'], run['reward'], borders,
-                                fill='last')
-      curves.append(ys)
-    mean = np.nanmean(curves, 0)
-    std = np.nanstd(curves, 0)
+    mean, std = np.nanmean(curves, 0), np.nanstd(curves, 0)
     color = colors[index % len(colors)]
     ax.plot(borders[1:], mean, label=label, color=color)
     ax.fill_between(borders[1:], mean - std, mean + std, alpha=0.15,
@@ -128,9 +146,7 @@ def plot_reward(inpaths, outpath, legend=None, colors=COLORS, budget=1e6,
   ax.set_ylabel('Episode Reward')
   ax.legend(frameon=False)
   fig.tight_layout()
-  pathlib.Path(outpath).parent.mkdir(exist_ok=True, parents=True)
-  fig.savefig(outpath)
-  return outpath
+  return _save(fig, outpath)
 
 
 def plot_counts(inpaths, outpath, legend=None, colors=COLORS, budget=1e6):
@@ -139,27 +155,21 @@ def plot_counts(inpaths, outpath, legend=None, colors=COLORS, budget=1e6):
   runs = analysis.load_runs(inpaths, budget)
   legend = _legend(runs, legend)
   tasks = sorted(key for key in runs[0] if key.startswith('achievement_'))
+  borders = np.arange(0, budget, 1e4)
   rows = int(np.ceil(len(tasks) / 4))
   fig, axes = plt.subplots(rows, 4, figsize=(14, 2.2 * rows), sharex=True)
-  borders = np.arange(0, budget, 1e4)
-  for t, (task, ax) in enumerate(zip(tasks, axes.flatten())):
-    ax.set_title(task[len('achievement_'):].replace('_', ' ').title())
+  unlocked_pct = lambda ys: 100 * (ys >= 1)
+  for task, ax in zip(tasks, axes.flatten()):
+    ax.set_title(_task_label(task))
     for index, (method, label) in enumerate(legend.items()):
-      relevant = [run for run in runs if run['method'] == method]
-      curves = []
-      for run in relevant:
-        xs, ys = analysis.binning(
-            run['xs'], 100 * (np.array(run[task]) >= 1), borders,
-            fill='last')
-        curves.append(ys)
+      curves = _method_curves(runs, method, task, borders,
+                              transform=unlocked_pct)
       if curves:
         ax.plot(borders[1:], np.nanmean(curves, 0), label=label,
                 color=colors[index % len(colors)])
   axes.flatten()[0].legend(frameon=False, fontsize=8)
   fig.tight_layout()
-  pathlib.Path(outpath).parent.mkdir(exist_ok=True, parents=True)
-  fig.savefig(outpath)
-  return outpath
+  return _save(fig, outpath)
 
 
 def print_scores(inpaths, legend=None, budget=1e6):
@@ -168,10 +178,10 @@ def print_scores(inpaths, legend=None, budget=1e6):
   legend = _legend(runs, legend)
   percents, methods, _, _ = analysis.compute_success_rates(runs, budget)
   scores = analysis.compute_scores(percents)
-  lines = []
-  for method, label in legend.items():
-    s = scores[methods.index(method)]
-    lines.append(f'{label:<20} {np.nanmean(s):6.1f} ± {np.nanstd(s):.1f}%')
+  lines = [
+      f'{label:<20} {np.nanmean(scores[methods.index(m)]):6.1f} '
+      f'± {np.nanstd(scores[methods.index(m)]):.1f}%'
+      for m, label in legend.items()]
   out = '\n'.join(lines)
   print(out)
   return out
@@ -186,10 +196,10 @@ def print_spectrum(inpaths, legend=None, budget=1e6, sort=False):
   lines = [' ' * 26 + '  '.join(f'{label:>12}'
                                 for label in legend.values())]
   for k, task in enumerate(tasks):
-    name = task[len('achievement_'):].replace('_', ' ').title()
     row = [f'{np.nanmean(percents[methods.index(m), :, k]):11.1f}%'
            for m in legend]
-    lines.append(f'{name:<26}' + '  '.join(f'{v:>12}' for v in row))
+    lines.append(f'{_task_label(task):<26}'
+                 + '  '.join(f'{v:>12}' for v in row))
   out = '\n'.join(lines)
   print(out)
   return out
@@ -229,21 +239,16 @@ def main():
   parser.add_argument('--outpath', type=str, default='plot.png')
   parser.add_argument('--budget', type=float, default=1e6)
   args = parser.parse_args()
-  if args.kind == 'scores':
-    plot_scores(args.inpaths, args.outpath, budget=args.budget)
-  elif args.kind == 'spectrum':
-    plot_spectrum(args.inpaths, args.outpath, budget=args.budget)
-  elif args.kind == 'reward':
-    plot_reward(args.inpaths, args.outpath, budget=args.budget)
-  elif args.kind == 'counts':
-    plot_counts(args.inpaths, args.outpath, budget=args.budget)
+  makers = dict(scores=plot_scores, spectrum=plot_spectrum,
+                reward=plot_reward, counts=plot_counts)
+  if args.kind in makers:
+    makers[args.kind](args.inpaths, args.outpath, budget=args.budget)
+    print('Saved', args.outpath)
   else:
     print_scores(args.inpaths, budget=args.budget)
     print()
     print_spectrum(args.inpaths, budget=args.budget)
     print_reward(args.inpaths, budget=args.budget)
-  if args.kind != 'tables':
-    print('Saved', args.outpath)
 
 
 if __name__ == '__main__':

@@ -1,19 +1,25 @@
-"""Recorder wrappers: per-episode stats, video, and transition dumps.
+"""Episode recording as one tracker plus pluggable sinks.
 
-Same composable-wrapper design and on-disk formats as the reference
-(reference: crafter/recorder.py:9-185) so the analysis pipeline consumes
-either engine's output unchanged:
+The reference nests five wrapper classes, each re-implementing the
+reset/step bookkeeping (reference: crafter/recorder.py:9-185).  Here a
+single :class:`Recorder` wrapper tracks the episode once and fans
+completed-episode events out to independent *sinks*; the reference's class
+names remain as one-sink conveniences because downstream code constructs
+them directly.
 
-* ``stats.jsonl`` — one JSON object per episode:
-  ``{"length": L, "reward": R, "achievement_<name>": count, ...}``
-  (recorder.py:53-66);
-* ``<ts>-ach<N>-len<L>.mp4`` — episode video (recorder.py:85-99);
-* ``<ts>-ach<N>-len<L>.npz`` — full transition arrays (recorder.py:117-152).
+The on-disk formats ARE the reference's — they feed the score pipeline and
+are golden-tested in tests/test_recorder_analysis.py:
 
-``VecStatsRecorder`` is the batched-path equivalent: it accumulates
-per-env episode length/return on the host from the small per-step
-(reward, done, achievements) arrays and emits the identical ``stats.jsonl``
-lines at episode boundaries.
+* ``stats.jsonl``: one ``{"length": L, "reward": R, "achievement_<name>":
+  count}`` object per episode (crafter/recorder.py:53-66);
+* ``<ts>-ach<N>-len<L>.mp4`` episode videos (crafter/recorder.py:85-99);
+* ``<ts>-ach<N>-len<L>.npz`` transition dumps with flattened
+  ``achievement_*`` / ``ainventory_*`` keys and a zero-filled first step
+  (crafter/recorder.py:117-152, :155-185).
+
+``VecStatsRecorder`` is the batched-path equivalent: it accumulates per-env
+length/return on the host and emits identical ``stats.jsonl`` lines at
+episode boundaries.
 """
 
 from __future__ import annotations
@@ -25,70 +31,105 @@ import pathlib
 import numpy as np
 
 
+# ---------------------------------------------------------------------------
+# Sinks: each consumes (transitions, summary) for one finished episode.
+# ---------------------------------------------------------------------------
+
+
+class StatsSink:
+  """Appends one JSON line per episode to ``stats.jsonl``."""
+
+  def __init__(self, directory):
+    self._file = (_mkdir(directory) / 'stats.jsonl').open('a')
+
+  def wants_frames(self):
+    return False
+
+  def episode_done(self, transitions, summary):
+    row = {'length': summary['length'], 'reward': round(summary['return'], 1)}
+    row.update({f'achievement_{k}': v
+                for k, v in summary['achievements'].items()})
+    self._file.write(json.dumps(row) + '\n')
+    self._file.flush()
+
+
+class VideoSink:
+  """Writes the episode's render frames as mp4 (gif without ffmpeg)."""
+
+  def __init__(self, directory, size=(512, 512)):
+    self._directory = _mkdir(directory)
+    self.size = size
+
+  def wants_frames(self):
+    return True
+
+  def episode_done(self, transitions, summary):
+    import imageio
+    frames = summary['frames']
+    try:
+      imageio.mimsave(
+          str(self._directory / (summary['name'] + '.mp4')), frames)
+    except Exception:  # mp4 needs imageio-ffmpeg; gif is always available
+      imageio.mimsave(
+          str(self._directory / (summary['name'] + '.gif')), frames)
+
+
+class TransitionSink:
+  """Writes the full transition arrays as a compressed ``.npz``.
+
+  Keys per step: action/image/reward/done, every scalar info entry,
+  flattened ``achievement_*`` and ``ainventory_*`` counts.  The reset row
+  carries only the image; the remaining keys are zero-filled to match the
+  reference's array stacking (crafter/recorder.py:145-148).
+  """
+
+  def __init__(self, directory):
+    self._directory = _mkdir(directory)
+
+  def wants_frames(self):
+    return False
+
+  def episode_done(self, transitions, summary):
+    first, rest = transitions[0], transitions[1:]
+    if not rest:
+      return
+    template = rest[0]
+    columns = {}
+    for key in template:
+      rows = [t.get(key, np.zeros_like(template[key])) for t in transitions]
+      columns[key] = np.array(rows)
+    np.savez_compressed(
+        str(self._directory / (summary['name'] + '.npz')), **columns)
+
+
+# ---------------------------------------------------------------------------
+# The tracker/wrapper.
+# ---------------------------------------------------------------------------
+
+
 class Recorder:
-  """crafter/recorder.py:9-25."""
+  """Env wrapper: track each episode once, fan out to sinks on done.
+
+  Mirrors the reference's composition root (crafter/recorder.py:9-25):
+  ``directory`` plus three booleans select the standard sinks; pass
+  ``sinks=[...]`` for custom ones.
+  """
 
   def __init__(self, env, directory, save_stats=True, save_video=True,
-               save_episode=True, video_size=(512, 512)):
-    if directory and save_stats:
-      env = StatsRecorder(env, directory)
-    if directory and save_video:
-      env = VideoRecorder(env, directory, video_size)
-    if directory and save_episode:
-      env = EpisodeRecorder(env, directory)
+               save_episode=True, video_size=(512, 512), sinks=None):
     self._env = env
-
-  def __getattr__(self, name):
-    if name.startswith('__'):
-      raise AttributeError(name)
-    return getattr(self._env, name)
-
-
-class StatsRecorder:
-  """crafter/recorder.py:28-66."""
-
-  def __init__(self, env, directory):
-    self._env = env
-    self._directory = pathlib.Path(directory).expanduser()
-    self._directory.mkdir(exist_ok=True, parents=True)
-    self._file = (self._directory / 'stats.jsonl').open('a')
-    self._length = None
-    self._reward = None
-
-  def __getattr__(self, name):
-    if name.startswith('__'):
-      raise AttributeError(name)
-    return getattr(self._env, name)
-
-  def reset(self):
-    obs = self._env.reset()
-    self._length = 0
-    self._reward = 0
-    return obs
-
-  def step(self, action):
-    obs, reward, done, info = self._env.step(action)
-    self._length += 1
-    self._reward += info['reward']
-    if done:
-      stats = {'length': self._length, 'reward': round(self._reward, 1)}
-      for key, value in info['achievements'].items():
-        stats[f'achievement_{key}'] = value
-      self._file.write(json.dumps(stats) + '\n')
-      self._file.flush()
-    return obs, reward, done, info
-
-
-class VideoRecorder:
-  """crafter/recorder.py:69-99."""
-
-  def __init__(self, env, directory, size=(512, 512)):
-    if not hasattr(env, 'episode_name'):
-      env = EpisodeName(env)
-    self._env = env
-    self._directory = pathlib.Path(directory).expanduser()
-    self._directory.mkdir(exist_ok=True, parents=True)
-    self._size = size
+    if sinks is None:
+      sinks = []
+      if directory and save_stats:
+        sinks.append(StatsSink(directory))
+      if directory and save_video:
+        sinks.append(VideoSink(directory, video_size))
+      if directory and save_episode:
+        sinks.append(TransitionSink(directory))
+    self._sinks = sinks
+    self._want_frames = any(s.wants_frames() for s in sinks)
+    self._frame_size = video_size
+    self._transitions = None
     self._frames = None
 
   def __getattr__(self, name):
@@ -98,139 +139,108 @@ class VideoRecorder:
 
   def reset(self):
     obs = self._env.reset()
-    self._frames = [self._env.render(self._size)]
+    self._transitions = [{'image': np.asarray(obs)}]
+    self._frames = ([np.asarray(self._env.render(self._frame_size))]
+                    if self._want_frames else None)
     return obs
 
   def step(self, action):
     obs, reward, done, info = self._env.step(action)
-    self._frames.append(self._env.render(self._size))
-    if done:
-      import imageio
-      try:
-        filename = str(self._directory / (self._env.episode_name + '.mp4'))
-        imageio.mimsave(filename, self._frames)
-      except Exception:  # mp4 needs imageio-ffmpeg; gif is always available
-        filename = str(self._directory / (self._env.episode_name + '.gif'))
-        imageio.mimsave(filename, self._frames)
-    return obs, reward, done, info
-
-
-class EpisodeRecorder:
-  """crafter/recorder.py:102-152."""
-
-  def __init__(self, env, directory):
-    if not hasattr(env, 'episode_name'):
-      env = EpisodeName(env)
-    self._env = env
-    self._directory = pathlib.Path(directory).expanduser()
-    self._directory.mkdir(exist_ok=True, parents=True)
-    self._episode = None
-
-  def __getattr__(self, name):
-    if name.startswith('__'):
-      raise AttributeError(name)
-    return getattr(self._env, name)
-
-  def reset(self):
-    obs = self._env.reset()
-    self._episode = [{'image': obs}]
-    return obs
-
-  def step(self, action):
-    obs, reward, done, info = self._env.step(action)
-    transition = {
-        'action': action, 'image': obs, 'reward': reward, 'done': done,
-    }
+    row = {'action': action, 'image': np.asarray(obs),
+           'reward': reward, 'done': done}
     for key, value in info.items():
-      if key in ('inventory', 'achievements'):
-        continue
-      transition[key] = value
-    for key, value in info['achievements'].items():
-      transition[f'achievement_{key}'] = value
-    for key, value in info['inventory'].items():
-      transition[f'ainventory_{key}'] = value
-    self._episode.append(transition)
+      if key == 'achievements':
+        row.update({f'achievement_{k}': v for k, v in value.items()})
+      elif key == 'inventory':
+        row.update({f'ainventory_{k}': v for k, v in value.items()})
+      else:
+        row[key] = value
+    self._transitions.append(row)
+    if self._want_frames:
+      self._frames.append(np.asarray(self._env.render(self._frame_size)))
     if done:
-      self._save()
+      self._flush(info)
     return obs, reward, done, info
 
-  def _save(self):
-    filename = str(self._directory / (self._env.episode_name + '.npz'))
-    # Zero-fill keys missing at the first time step (recorder.py:145-148).
-    for key, value in self._episode[1].items():
-      if key not in self._episode[0]:
-        self._episode[0][key] = np.zeros_like(value)
-    episode = {
-        k: np.array([step[k] for step in self._episode])
-        for k in self._episode[0]}
-    np.savez_compressed(filename, **episode)
+  def _flush(self, info):
+    achievements = dict(info['achievements'])
+    length = len(self._transitions) - 1
+    summary = dict(
+        length=length,
+        achievements=achievements,
+        name=_episode_name(length, achievements),
+        frames=self._frames,
+        # Episode return sums info['reward'] (which overwrote the step
+        # reward in each row — the same key collision the reference has,
+        # crafter/recorder.py:58-62 + :139-144), so NoReward envs still
+        # report real returns.
+        **{'return': float(sum(float(t['reward'])
+                               for t in self._transitions[1:]))})
+    for sink in self._sinks:
+      sink.episode_done(self._transitions, summary)
 
 
-class EpisodeName:
-  """crafter/recorder.py:155-185: `{timestamp}-ach{N}-len{L}` names."""
+def _episode_name(length, achievements):
+  """``{timestamp}-ach{N}-len{L}`` (crafter/recorder.py:183-185)."""
+  timestamp = datetime.datetime.now().strftime('%Y%m%dT%H%M%S')
+  unlocked = sum(int(v >= 1) for v in achievements.values())
+  return f'{timestamp}-ach{unlocked}-len{length}'
 
-  def __init__(self, env):
-    self._env = env
-    self._timestamp = None
-    self._unlocked = None
-    self._length = None
 
-  def __getattr__(self, name):
-    if name.startswith('__'):
-      raise AttributeError(name)
-    return getattr(self._env, name)
+def _mkdir(directory):
+  path = pathlib.Path(directory).expanduser()
+  path.mkdir(exist_ok=True, parents=True)
+  return path
 
-  def reset(self):
-    obs = self._env.reset()
-    self._timestamp = None
-    self._unlocked = None
-    self._length = 0
-    return obs
 
-  def step(self, action):
-    obs, reward, done, info = self._env.step(action)
-    self._length += 1
-    if done:
-      self._timestamp = datetime.datetime.now().strftime('%Y%m%dT%H%M%S')
-      self._unlocked = sum(
-          int(v >= 1) for v in info['achievements'].values())
-    return obs, reward, done, info
+# ---------------------------------------------------------------------------
+# Reference-shaped conveniences: one wrapper per sink.
+# ---------------------------------------------------------------------------
 
-  @property
-  def episode_name(self):
-    return f'{self._timestamp}-ach{self._unlocked}-len{self._length}'
+
+def StatsRecorder(env, directory):
+  """Stats-only recorder (crafter/recorder.py:28-66 surface)."""
+  return Recorder(env, directory, sinks=[StatsSink(directory)])
+
+
+def VideoRecorder(env, directory, size=(512, 512)):
+  """Video-only recorder (crafter/recorder.py:69-99 surface)."""
+  return Recorder(env, directory, video_size=size,
+                  sinks=[VideoSink(directory, size)])
+
+
+def EpisodeRecorder(env, directory):
+  """Transition-dump-only recorder (crafter/recorder.py:102-152 surface)."""
+  return Recorder(env, directory, sinks=[TransitionSink(directory)])
 
 
 class VecStatsRecorder:
-  """Batched-path stats: one `stats.jsonl` line per finished episode.
+  """Batched-path stats: one ``stats.jsonl`` line per finished episode.
 
   Feed it each step's ``(reward, done, achievements)`` batch (host numpy or
-  device arrays); episode returns accumulate ``info['reward']`` exactly like
-  ``StatsRecorder`` (recorder.py:53-62).
+  device arrays); episode returns accumulate the reward signal exactly like
+  the single-env stats sink.
   """
 
   def __init__(self, num_envs: int, directory):
     from . import rules
     self._names = rules.ACHIEVEMENTS
-    self._directory = pathlib.Path(directory).expanduser()
-    self._directory.mkdir(exist_ok=True, parents=True)
-    self._file = (self._directory / 'stats.jsonl').open('a')
+    self._sink = StatsSink(directory)
     self._length = np.zeros((num_envs,), np.int64)
-    self._reward = np.zeros((num_envs,), np.float64)
+    self._return = np.zeros((num_envs,), np.float64)
 
   def add(self, reward, done, achievements):
     reward = np.asarray(reward)
     done = np.asarray(done)
     self._length += 1
-    self._reward += reward
+    self._return += reward
     if done.any():
       achievements = np.asarray(achievements)
       for i in np.flatnonzero(done):
-        stats = {'length': int(self._length[i]),
-                 'reward': round(float(self._reward[i]), 1)}
-        for j, name in enumerate(self._names):
-          stats[f'achievement_{name}'] = int(achievements[i, j])
-        self._file.write(json.dumps(stats) + '\n')
-      self._file.flush()
+        self._sink.episode_done(None, dict(
+            length=int(self._length[i]),
+            achievements={name: int(achievements[i, j])
+                          for j, name in enumerate(self._names)},
+            **{'return': float(self._return[i])}))
       self._length[done] = 0
-      self._reward[done] = 0.0
+      self._return[done] = 0.0

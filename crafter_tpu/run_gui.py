@@ -1,14 +1,15 @@
-"""Human-play pygame GUI (reference: crafter/run_gui.py:1-146).
+"""Human-play pygame GUI — a thin client over the single-env path.
 
-Same keymap (WASD/SPACE/TAB, R/T/F/P for placing, 1-6 for crafting), fps
-clock, `--death {continue,reset,quit}`, `--wait`, and `--record` flags.
-The window is a thin client over the JAX env's single-env path.
+Feature surface mirrors the reference CLI (reference: crafter/run_gui.py):
+the WASD/SPACE/TAB + R/T/F/P + 1-6 keymap, fps clock, ``--death
+{continue,reset,quit}``, ``--wait``, ``--record``, and the health override
+via rule mutation.  The implementation is organized as a small session
+object (draw / read-input / advance) rather than one monolithic loop.
 """
 
 import argparse
 
 import numpy as np
-
 
 KEYMAP_NAMES = {
     'a': 'move_left', 'd': 'move_right', 'w': 'move_up', 's': 'move_down',
@@ -21,13 +22,101 @@ KEYMAP_NAMES = {
 }
 
 
+class GuiSession:
+  """One interactive play session: window, input, episode bookkeeping."""
 
-def _apply_platform_env():
+  def __init__(self, env, args, pygame):
+    self.env = env
+    self.args = args
+    self.pygame = pygame
+    self.keymap = {pygame.key.key_code(name): action
+                   for name, action in KEYMAP_NAMES.items()}
+    self.screen = pygame.display.set_mode(args.window)
+    self.clock = pygame.time.Clock()
+    self.render_size = [args.size[0] or args.window[0],
+                        args.size[1] or args.window[1]]
+    self.running = True
+    self._new_episode(reset=False)
+
+  def _new_episode(self, reset=True):
+    if reset:
+      self.env.reset()
+    self.unlocked = set()
+    self.steps = 0
+    self.episode_return = 0.0
+    self.finished = False
+
+  def print_keymap(self):
+    print('Actions:')
+    for key, action in self.keymap.items():
+      print(f'  {self.pygame.key.name(key)}: {action}')
+
+  def draw(self):
+    frame = self.env.render(self.render_size)
+    if self.render_size != list(self.args.window):
+      from PIL import Image
+      frame = np.array(Image.fromarray(frame).resize(
+          self.args.window, resample=Image.NEAREST))
+    surface = self.pygame.surfarray.make_surface(frame.transpose(1, 0, 2))
+    self.screen.blit(surface, (0, 0))
+    self.pygame.display.flip()
+    self.clock.tick(self.args.fps)
+
+  def read_action(self):
+    """One queued or held key -> action name; None if nothing pressed."""
+    pg = self.pygame
+    choice = None
+    pg.event.pump()
+    for event in pg.event.get():
+      quit_ = event.type == pg.QUIT or (
+          event.type == pg.KEYDOWN and event.key == pg.K_ESCAPE)
+      if quit_:
+        self.running = False
+      elif event.type == pg.KEYDOWN and event.key in self.keymap:
+        choice = self.keymap[event.key]
+    if choice is None:
+      held = pg.key.get_pressed()
+      choice = next((a for k, a in self.keymap.items() if held[k]), None)
+    return choice
+
+  def advance(self, action):
+    _, reward, done, info = self.env.step(
+        self.env.action_names.index(action))
+    self.steps += 1
+    self.episode_return += reward
+    for name, count in info['achievements'].items():
+      if count > 0 and name not in self.unlocked:
+        self.unlocked.add(name)
+        print(f'Achievement ({len(self.unlocked)}'
+              f'/{len(info["achievements"])}): {name}')
+    if info['discount'] < 1:
+      print('Lost all health.')
+    if done and not self.finished:
+      self.finished = True
+      print('Episode done!')
+      print(f'Duration: {self.steps}')
+      print(f'Return: {self.episode_return:.1f}')
+      if self.args.death == 'quit':
+        self.running = False
+      elif self.args.death == 'reset':
+        print('\nStarting a new episode.')
+        self._new_episode()
+      # 'continue': keep stepping the dead world.
+
+  def run(self):
+    while self.running:
+      self.draw()
+      action = self.read_action()
+      if action is None and self.args.wait:
+        continue
+      self.advance(action or 'noop')
+    self.pygame.quit()
+
+
+def main():
   from crafter_tpu.utils import apply_platform_env
   apply_platform_env()
 
-def main():
-  _apply_platform_env()
   boolean = lambda x: bool(['False', 'True'].index(x))
   parser = argparse.ArgumentParser()
   parser.add_argument('--seed', type=int, default=None)
@@ -53,19 +142,9 @@ def main():
   import crafter_tpu
   from crafter_tpu import rules
 
-  if args.health != 9:  # run_gui.py:55-56 health override
+  if args.health != 9:  # reference health override (run_gui.py:55-56)
     rules.override_rules(lambda r: r['items']['health'].update(
         max=args.health, initial=args.health))
-
-  keymap = {pygame.key.key_code(name): action
-            for name, action in KEYMAP_NAMES.items()}
-  print('Actions:')
-  for key, action in keymap.items():
-    print(f'  {pygame.key.name(key)}: {action}')
-
-  size = list(args.size)
-  size[0] = size[0] or args.window[0]
-  size[1] = size[1] or args.window[1]
 
   env = crafter_tpu.Env(
       area=args.area, view=args.view, length=args.length or 10000,
@@ -73,83 +152,11 @@ def main():
   if args.record:
     env = crafter_tpu.Recorder(env, args.record)
   env.reset()
-  achievements = set()
-  duration = 0
-  return_ = 0
-  was_done = False
 
   pygame.init()
-  screen = pygame.display.set_mode(args.window)
-  clock = pygame.time.Clock()
-  running = True
-  while running:
-    # Rendering.
-    image = env.render(size)
-    if size != args.window:
-      from PIL import Image
-      image = Image.fromarray(image)
-      image = image.resize(args.window, resample=Image.NEAREST)
-      image = np.array(image)
-    surface = pygame.surfarray.make_surface(image.transpose((1, 0, 2)))
-    screen.blit(surface, (0, 0))
-    pygame.display.flip()
-    clock.tick(args.fps)
-
-    # Keyboard input.
-    action = None
-    pygame.event.pump()
-    for event in pygame.event.get():
-      if event.type == pygame.QUIT:
-        running = False
-      elif event.type == pygame.KEYDOWN and event.key == pygame.K_ESCAPE:
-        running = False
-      elif event.type == pygame.KEYDOWN and event.key in keymap.keys():
-        action = keymap[event.key]
-    if action is None:
-      pressed = pygame.key.get_pressed()
-      for key, action_ in keymap.items():
-        if pressed[key]:
-          action = action_
-          break
-    if args.wait and action is None:
-      continue
-    action = action or 'noop'
-
-    # Environment step.
-    _, reward, done, info = env.step(env.action_names.index(action))
-    duration += 1
-
-    # Achievement printout (run_gui.py:114-127).
-    unlocked = {
-        name for name, count in info['achievements'].items()
-        if count > 0 and name not in achievements}
-    for name in unlocked:
-      achievements |= unlocked
-      total = len(info['achievements'].keys())
-      print(f'Achievement ({len(achievements)}/{total}): {name}')
-    if info['discount'] < 1:
-      print(f'Lost all health.')
-    return_ += reward
-
-    # Death handling (run_gui.py:129-144).
-    if done and not was_done:
-      was_done = True
-      print('Episode done!')
-      print(f'Duration: {duration}')
-      print(f'Return: {return_:.1f}')
-      if args.death == 'quit':
-        running = False
-      if args.death == 'reset':
-        print('\nStarting a new episode.')
-        env.reset()
-        achievements = set()
-        was_done = False
-        duration = 0
-        return_ = 0
-      if args.death == 'continue':
-        pass
-
-  pygame.quit()
+  session = GuiSession(env, args, pygame)
+  session.print_keymap()
+  session.run()
 
 
 if __name__ == '__main__':

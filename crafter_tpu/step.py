@@ -173,39 +173,41 @@ def _mat_in(m: jax.Array, member_table) -> jax.Array:
   return out
 
 
+def _i32c(value: int) -> jnp.ndarray:
+  """A 32-bit constant as int32 (two's-complement wrap)."""
+  return jnp.int32(np.uint32(value).view(np.int32))
+
+
+def _srl(v: jax.Array, k: int) -> jax.Array:
+  """Logical (unsigned) right shift on int32 lanes."""
+  return jax.lax.shift_right_logical(v, jnp.int32(k))
+
+
 def _fmix(v: jax.Array) -> jax.Array:
-  """32-bit avalanche (murmur3-style finalizer)."""
-  v = v ^ (v >> 16)
-  v = v * jnp.uint32(0x7FEB352D)
-  v = v ^ (v >> 15)
-  v = v * jnp.uint32(0x846CA68B)
-  v = v ^ (v >> 16)
+  """32-bit avalanche (murmur3-style finalizer) on int32 lanes.
+
+  int32 with wrapping multiplies and logical shifts is bit-identical to
+  the uint32 formulation and lowers on every backend incl. Mosaic.
+  """
+  v = v ^ _srl(v, 16)
+  v = v * _i32c(0x7FEB352D)
+  v = v ^ _srl(v, 15)
+  v = v * _i32c(0x846CA68B)
+  v = v ^ _srl(v, 16)
   return v
 
 
 def _cell_bits(seed: jax.Array, chan: int, w: int, h: int) -> jax.Array:
-  """Per-cell uint32 random bits from a counter-based hash.
+  """Per-cell int32 random bits from a counter-based hash.
 
   Each (seed, channel, cell) triple maps through two avalanche rounds —
   the same construction as the worldgen hash (ops/noise.py:noise3_fast),
   an order of magnitude cheaper than threefry at these volumes.
   """
   x, y = _iota2(w, h)
-  v = (seed + jnp.uint32(chan) * jnp.uint32(0x9E3779B9)
-       + x.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B)
-       + y.astype(jnp.uint32) * jnp.uint32(0xC2B2AE35))
+  v = (seed + _i32c(0x9E3779B9) * jnp.int32(chan)
+       + x * _i32c(0x85EBCA6B) + y * _i32c(0xC2B2AE35))
   return _fmix(_fmix(v))
-
-
-def _cell_uniform(seed: jax.Array, chan: int, w: int, h: int) -> jax.Array:
-  """Per-cell iid uniforms in [0, 1).
-
-  The reference draws lazily from one MT19937 stream as its Python loops
-  touch entities (objects.py passim); each draw is consumed at most once,
-  so iid per-cell uniforms give the identical joint distribution.
-  """
-  bits = _cell_bits(seed, chan, w, h)
-  return (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
 
 
 def _toward(px, py, x, y, long_axis):
@@ -217,10 +219,14 @@ def _toward(px, py, x, y, long_axis):
   can never succeed (the reference moves onto its own occupied cell).
   """
   offx, offy = px - x, py - y
-  use_x = jnp.where(long_axis, jnp.abs(offx) > jnp.abs(offy),
-                    jnp.abs(offx) <= jnp.abs(offy))
-  mvx = jnp.where(use_x, jnp.sign(offx), 0)
-  mvy = jnp.where(use_x, 0, jnp.sign(offy))
+  # Logical blend, not select_n: Mosaic cannot select between i1 operands.
+  long_axis = jnp.asarray(long_axis)
+  use_x = ((long_axis & (jnp.abs(offx) > jnp.abs(offy)))
+           | (~long_axis & (jnp.abs(offx) <= jnp.abs(offy))))
+  # Compare-chain sign (jnp.sign's int lowering trips Mosaic's truncation).
+  sgn = lambda v: jnp.where(v > 0, 1, jnp.where(v < 0, -1, 0))
+  mvx = jnp.where(use_x, sgn(offx), 0)
+  mvy = jnp.where(use_x, 0, sgn(offy))
   return mvx, mvy
 
 
@@ -435,33 +441,67 @@ def _player_phase(state: State, action: jax.Array, key: jax.Array,
 
 # ---------------------------------------------------------------------------
 # Phase 2: mobs, arrows, plants (objects.py:264-411).
+#
+# The phase is written ONCE as a flat-plane core over the last axis
+# (`_mob_core`), shared verbatim by two backends:
+#   * jnp: per-env (C,) planes under vmap (CPU and the single-env path);
+#   * pallas: (E, C) blocks inside one fused TPU kernel, every intermediate
+#     in VMEM (see `_mob_phase_pallas`) — the XLA path materializes ~100
+#     (N, C) intermediates to HBM, which dominates the tick.
+# Both backends execute the same trace, so results are bit-identical.
 # ---------------------------------------------------------------------------
 
 
-def _mob_phase(state: State, key: jax.Array, cfg: EnvConfig,
-               plant_spawn, plant_pos):
-  """All non-player entities decide simultaneously on their cells.
+def _mob_core(cell, M, T, Hp, A, F, px, py, sleeping, seed, plant_idx, cfg):
+  """Mob/arrow/plant tick over flat cell planes (last axis = W*H cells).
 
-  Decisions are computed in the *source-cell* domain on the post-player
-  state, movement carries every channel through four shifted claim planes,
-  and post-move effects (zombie melee, plant damage) read the moved planes.
+  All non-player entities decide simultaneously in the *source-cell*
+  domain on the post-player state, movement carries every channel through
+  four shifted claim planes, and post-move effects (zombie melee, plant
+  damage) read the moved planes.
+
+  ``cell`` is the int32 plane of flat cell indices (built by the backend —
+  1-D iota is jnp-only, 2-D broadcasted iota is Mosaic-only).  Scalars
+  (px/py/sleeping/seed/plant_idx) broadcast against the planes: shape ()
+  per env under vmap, (E, 1) inside the kernel.  Returns the five updated
+  planes plus the player's melee+arrow damage (reduced over cells,
+  keepdims).
   """
   t = rules.TABLES
   w, h = cfg.area
-  M = state.mat_map.astype(jnp.int32)
-  T = state.ent.etype.astype(jnp.int32)
-  Hp = state.ent.health.astype(jnp.int32)
-  A = state.ent.aux.astype(jnp.int32)
-  F = state.ent.facing.astype(jnp.int32)
-  ppos = state.player.pos
-  sleeping = state.player.sleeping
 
-  seed = jax.random.bits(key, (), jnp.uint32)
-  u = [_cell_uniform(seed, c, w, h) for c in range(8)]
+  x = cell // h
+  y = cell % h
 
-  x, y = _iota2(w, h)
-  pdist = jnp.abs(x - ppos[0]) + jnp.abs(y - ppos[1])
-  pending = plant_spawn & _onehot(plant_pos, w, h)
+  def roll(a, k):
+    # Mosaic cannot rotate/concatenate i1 vectors: roll bools as int32.
+    if a.dtype == jnp.bool_:
+      return jnp.roll(a.astype(jnp.int32), k, axis=-1) != 0
+    return jnp.roll(a, k, axis=-1)
+
+  def push(a, d):
+    """out[c] = a[c - DIRS[d]]: content travels one cell along d."""
+    dx, dy = DIRS[d]
+    out = roll(a, dx * h + dy)
+    valid = ((x - dx >= 0) & (x - dx < w)) if dx else ((y - dy >= 0)
+                                                      & (y - dy < h))
+    return out & valid if a.dtype == jnp.bool_ else jnp.where(valid, out, 0)
+
+  def pull(a, d):
+    """out[c] = a[c + DIRS[d]]: what each cell sees at its dir-d neighbor."""
+    dx, dy = DIRS[d]
+    out = roll(a, -(dx * h + dy))
+    valid = ((x + dx >= 0) & (x + dx < w)) if dx else ((y + dy >= 0)
+                                                      & (y + dy < h))
+    return out & valid if a.dtype == jnp.bool_ else jnp.where(valid, out, 0)
+
+  def read_at(plane, idx):
+    return jnp.sum(jnp.where(cell == idx, plane, 0), -1, keepdims=True)
+
+  u = [_cell_uniform_xy(seed, c, x, y) for c in range(8)]
+
+  pdist = jnp.abs(x - px) + jnp.abs(y - py)
+  pending = cell == plant_idx   # all-False when plant_idx < 0
 
   is_cow = T == rules.E_COW
   is_zom = T == rules.E_ZOMBIE
@@ -481,17 +521,17 @@ def _mob_phase(state: State, key: jax.Array, cfg: EnvConfig,
   # Zombie: chase within dist 8 with p=0.9 (long axis p=0.8), else random
   # walk (objects.py:297-301).
   chase = (pdist <= 8) & (u[0] < 0.9)
-  twx, twy = _toward(ppos[0], ppos[1], x, y, u[1] < 0.8)
+  twx, twy = _toward(px, py, x, y, u[1] < 0.8)
   zx = jnp.where(chase, twx, rdx)
   zy = jnp.where(chase, twy, rdy)
   # Skeleton (objects.py:327-341): retreat at dist<=3; on a failed retreat
   # fall through the elif chain (shoot / approach / walk).
   retreat = pdist <= 3
-  rwx, rwy = _toward(ppos[0], ppos[1], x, y, u[2] < 0.6)
+  rwx, rwy = _toward(px, py, x, y, u[2] < 0.6)
   c_shoot = (pdist <= 5) & (u[3] < 0.5)
   c_approach = (pdist <= 8) & (u[4] < 0.3)
   c_walk = u[5] < 0.2
-  awx, awy = _toward(ppos[0], ppos[1], x, y, u[6] < 0.6)
+  awx, awy = _toward(px, py, x, y, u[6] < 0.6)
   appr = ~c_shoot & c_approach
   sox = jnp.where(appr, awx, rdx)
   soy = jnp.where(appr, awy, rdy)
@@ -510,22 +550,23 @@ def _mob_phase(state: State, key: jax.Array, cfg: EnvConfig,
   # Per-cell target attributes via per-direction shifted planes.
   occ0 = (T > 0) | pending   # the fresh plant's cell counts as occupied
   #                            for every check this tick (objects.py:248)
-  tmat = jnp.zeros((w, h), jnp.int32)
-  tocc = jnp.zeros((w, h), bool)
-  inside_t = jnp.zeros((w, h), bool)
+  tmat = jnp.zeros_like(M)
+  tocc = jnp.zeros_like(pending)
+  inside_t = jnp.zeros_like(pending)
   for d in range(4):
-    sel = (mvx == DIRS[d][0]) & (mvy == DIRS[d][1])
-    tmat = jnp.where(sel, _pull(M, d), tmat)
-    tocc = jnp.where(sel, _pull(occ0, d), tocc)
-    nx, ny = x + DIRS[d][0], y + DIRS[d][1]
-    inside_t = jnp.where(
-        sel, (nx >= 0) & (nx < w) & (ny >= 0) & (ny < h), inside_t)
+    dx, dy = DIRS[d]
+    sel = (mvx == dx) & (mvy == dy)
+    tmat = jnp.where(sel, pull(M, d), tmat)
+    tocc = tocc | (sel & pull(occ0, d))
+    nx, ny = x + dx, y + dy
+    inside_t = inside_t | (
+        sel & (nx >= 0) & (nx < w) & (ny >= 0) & (ny < h))
   moving = (mvx != 0) | (mvy != 0)  # a (0,0) `toward` never succeeds
   # A cell "targeting itself" (zero move vector) reads its own attributes
   # in the reference; feasibility fails there via the occupancy check.
   tmat = jnp.where(moving, tmat, M)
-  tocc = jnp.where(moving, tocc, occ0)
-  inside_t = jnp.where(moving, inside_t, True)
+  tocc = (moving & tocc) | (~moving & occ0)
+  inside_t = inside_t | ~moving
 
   # Arrow impact decisions (objects.py:373-384): hit / despawn / fly.
   a_hit = is_arrow & active & tocc
@@ -537,44 +578,45 @@ def _mob_phase(state: State, key: jax.Array, cfg: EnvConfig,
       (is_cow & cow_wants) | is_zom | (is_skel & skel_wants) | a_fly)
 
   # --- movement: four claim planes + direction-priority select -----------
-  walk_ok = jnp.where(is_arrow, _mat_in(tmat, t.walkable_arrow),
-                      _mat_in(tmat, t.walkable_mob))
+  walk_ok = ((is_arrow & _mat_in(tmat, t.walkable_arrow))
+             | (~is_arrow & _mat_in(tmat, t.walkable_mob)))
   feasible = inside_t & walk_ok & ~tocc
   valid = wants & feasible & moving
 
   claims = []
-  taken = jnp.zeros((w, h), bool)
-  success = jnp.zeros((w, h), bool)
+  taken = jnp.zeros_like(pending)
+  success = jnp.zeros_like(pending)
   for d in range(4):
     mover_d = valid & (mvx == DIRS[d][0]) & (mvy == DIRS[d][1])
-    win_d = _push(mover_d, d) & ~taken
+    win_d = push(mover_d, d) & ~taken
     taken = taken | win_d
     claims.append(win_d)
-    success = success | (_pull(win_d, d) & mover_d)
+    success = success | (pull(win_d, d) & mover_d)
 
   # --- skeleton shooting decision (objects.py:330-351).  A dead skeleton
   # "moves" whenever the retreat cell is free (World.move no-ops on removed
   # objects but Object.move still reports success, engine.py:67-69).
-  s_moved = jnp.where(dying, retreat & feasible, retreat & success)
+  s_moved = ((dying & retreat & feasible)
+             | (~dying & retreat & success))
   reload = jnp.where(active & is_skel, jnp.maximum(0, A - 1), A)
   shoot = active & is_skel & ~s_moved & c_shoot & (reload == 0)
-  shvx, shvy = _toward(ppos[0], ppos[1], x, y, True)
+  shvx, shvy = _toward(px, py, x, y, True)
 
   # --- arrow impacts: damage at the target cell, applied pre-move so it
   # travels with a mob that also moves this tick (the round-1 semantics).
-  dmg = jnp.zeros((w, h), jnp.int32)
+  dmg = jnp.zeros_like(M)
   for d in range(4):
-    dmg = dmg + 2 * _push(a_hit & (F == d), d).astype(jnp.int32)
-  player_arrow_dmg = _read(dmg, _onehot(ppos, w, h))
+    dmg = dmg + 2 * push(a_hit & (F == d), d).astype(jnp.int32)
+  player_dmg = read_at(dmg, px * h + py)
   Hp = jnp.maximum(0, Hp - jnp.where(T > rules.E_PLAYER, dmg, 0))
   # Arrows destroy tables/furnaces into path (objects.py:380-382); the
   # masked select is idempotent, so several arrows smashing one cell are
   # fine (unlike round 1's summed scatter).
   smash_src = a_block & ((tmat == rules.MAT_TABLE)
                          | (tmat == rules.MAT_FURNACE))
-  smash = jnp.zeros((w, h), bool)
+  smash = jnp.zeros_like(pending)
   for d in range(4):
-    smash = smash | _push(smash_src & (F == d), d)
+    smash = smash | push(smash_src & (F == d), d)
   M = jnp.where(smash, rules.MAT_PATH, M)
 
   # --- plants grow before moving planes are built (objects.py:405-407).
@@ -587,25 +629,27 @@ def _mob_phase(state: State, key: jax.Array, cfg: EnvConfig,
   A1 = A
   F1 = F
   for d in range(4):
-    T1 = jnp.where(claims[d], _push(T, d), T1)
-    H1 = jnp.where(claims[d], _push(Hp, d), H1)
-    A1 = jnp.where(claims[d], _push(A, d), A1)
-    F1 = jnp.where(claims[d], _push(F, d), F1)
+    T1 = jnp.where(claims[d], push(T, d), T1)
+    H1 = jnp.where(claims[d], push(Hp, d), H1)
+    A1 = jnp.where(claims[d], push(A, d), A1)
+    F1 = jnp.where(claims[d], push(F, d), F1)
 
   # --- zombie melee (objects.py:302-312): post-move adjacency, cooldown
   # counts down only while adjacent, 7 damage if the player sleeps.
   z_adj = (T1 == rules.E_ZOMBIE) & (pdist <= 1)
   z_att = z_adj & (A1 == 0)
   A1 = jnp.where(z_adj, jnp.where(z_att, 5, A1 - 1), A1)
-  zdmg = jnp.sum(jnp.where(z_att, jnp.where(sleeping, 7, 2), 0))
+  zdmg = jnp.sum(
+      jnp.where(z_att, jnp.where(sleeping, 7, 2), 0), -1, keepdims=True)
+  player_dmg = player_dmg + zdmg
 
   # --- plant damage from adjacent mobs (objects.py:408-411): post-move
   # positions, pre-removal liveness (dying mobs still occupy their cell).
   hostile = ((T1 == rules.E_COW) | (T1 == rules.E_ZOMBIE)
              | (T1 == rules.E_SKELETON))
-  nbr_hostile = jnp.zeros((w, h), bool)
+  nbr_hostile = jnp.zeros_like(pending)
   for d in range(4):
-    nbr_hostile = nbr_hostile | _push(hostile, d)
+    nbr_hostile = nbr_hostile | push(hostile, d)
   plant_hit = active & is_plant & nbr_hostile  # plants never move
   H1 = jnp.where(plant_hit, jnp.maximum(0, H1 - 1), H1)
   plant_dead = active & is_plant & (H1 <= 0)
@@ -622,29 +666,79 @@ def _mob_phase(state: State, key: jax.Array, cfg: EnvConfig,
   # --- arrow spawns (objects.py:344-351): the target cell must be free
   # *post-move* and arrow-walkable; reload resets only on a real shot.
   spawn_free = (T1 == 0) & ~pending & _mat_in(M, t.walkable_arrow)
-  arrow_ok_src = jnp.zeros((w, h), bool)
-  staken = jnp.zeros((w, h), bool)
+  arrow_ok_src = jnp.zeros_like(pending)
+  staken = jnp.zeros_like(pending)
   for d in range(4):
     spawn_d = shoot & (shvx == DIRS[d][0]) & (shvy == DIRS[d][1])
-    win_d = _push(spawn_d, d) & spawn_free & ~staken
+    win_d = push(spawn_d, d) & spawn_free & ~staken
     staken = staken | win_d
     T1 = jnp.where(win_d, rules.E_ARROW, T1)
     H1 = jnp.where(win_d, 0, H1)
     A1 = jnp.where(win_d, 0, A1)
     F1 = jnp.where(win_d, d, F1)
-    arrow_ok_src = arrow_ok_src | (_pull(win_d, d) & spawn_d)
+    arrow_ok_src = arrow_ok_src | (pull(win_d, d) & spawn_d)
   A1 = jnp.where(arrow_ok_src, 4, A1)  # shooter reloads
 
+  return M, T1, H1, A1, F1, player_dmg
+
+
+def _cell_uniform_xy(seed, chan: int, x, y):
+  """Per-cell iid uniforms in [0, 1) from (x, y) coordinate planes.
+
+  The reference draws lazily from one MT19937 stream as its Python loops
+  touch entities (objects.py passim); each draw is consumed at most once,
+  so iid per-cell uniforms give the identical joint distribution.
+  """
+  v = (seed + _i32c(0x9E3779B9) * jnp.int32(chan)
+       + x * _i32c(0x85EBCA6B) + y * _i32c(0xC2B2AE35))
+  bits = _fmix(_fmix(v))
+  return _srl(bits, 8).astype(jnp.float32) * (1.0 / (1 << 24))
+
+
+def _mob_core_args(state: State, key: jax.Array, plant_spawn, plant_pos,
+                   cfg: EnvConfig, widen: bool = True):
+  """Flatten one env's state into `_mob_core` operands (minus `cell`).
+
+  ``widen=False`` keeps the storage dtypes (the Pallas path widens inside
+  the kernel so HBM only ever sees the narrow planes)."""
+  w, h = cfg.area
+  flat = lambda m: (m.reshape(m.shape[:-2] + (w * h,)).astype(jnp.int32)
+                    if widen else m.reshape(m.shape[:-2] + (w * h,)))
+  seed = jax.lax.bitcast_convert_type(
+      jax.random.bits(key, (), jnp.uint32), jnp.int32)
+  plant_idx = jnp.where(plant_spawn,
+                        plant_pos[..., 0] * h + plant_pos[..., 1], -1)
+  return (flat(state.mat_map), flat(state.ent.etype),
+          flat(state.ent.health), flat(state.ent.aux),
+          flat(state.ent.facing), state.player.pos[..., 0],
+          state.player.pos[..., 1], state.player.sleeping, seed, plant_idx)
+
+
+def _mob_finish(state: State, outs, cfg: EnvConfig) -> State:
+  """Fold `_mob_core` outputs back into the state pytree (one env)."""
+  w, h = cfg.area
+  M, T1, H1, A1, F1, player_dmg = outs
+  grid = lambda p, ref: p.reshape(p.shape[:-1] + (w, h)).astype(ref.dtype)
   player = state.player.replace(
       inventory=state.player.inventory.at[rules.ITEM_HEALTH].set(
           jnp.maximum(0, state.player.inventory[rules.ITEM_HEALTH]
-                      - zdmg - player_arrow_dmg)))
-  ent = EntMaps(etype=T1.astype(state.ent.etype.dtype),
-                health=H1.astype(state.ent.health.dtype),
-                aux=A1.astype(state.ent.aux.dtype),
-                facing=F1.astype(state.ent.facing.dtype))
-  return state.replace(mat_map=M.astype(state.mat_map.dtype),
-                       ent=ent, player=player)
+                      - player_dmg[..., 0])))
+  ent = EntMaps(etype=grid(T1, state.ent.etype),
+                health=grid(H1, state.ent.health),
+                aux=grid(A1, state.ent.aux),
+                facing=grid(F1, state.ent.facing))
+  return state.replace(mat_map=grid(M, state.mat_map), ent=ent,
+                       player=player)
+
+
+def _mob_phase(state: State, key: jax.Array, cfg: EnvConfig,
+               plant_spawn, plant_pos) -> State:
+  """jnp backend: one env, flat (C,) planes."""
+  w, h = cfg.area
+  cell = jnp.arange(w * h, dtype=jnp.int32)
+  outs = _mob_core(cell, *_mob_core_args(state, key, plant_spawn, plant_pos,
+                                         cfg), cfg)
+  return _mob_finish(state, outs, cfg)
 
 
 # ---------------------------------------------------------------------------
@@ -652,20 +746,25 @@ def _mob_phase(state: State, key: jax.Array, cfg: EnvConfig,
 # ---------------------------------------------------------------------------
 
 
-def _chunk_view(grid: jax.Array, cfg: EnvConfig, fill) -> jax.Array:
-  """(W, H) -> (n_chunks, csx*csy) by padding to a chunk multiple."""
+def _chunk_reduce(grid: jax.Array, cfg: EnvConfig, fill, op) -> jax.Array:
+  """Per-chunk reduction (W, H) -> (ncx, ncy) without any transpose.
+
+  The (ncx, csx, ncy, csy) reshape of the padded grid is a free row-major
+  split; reducing axes (1, 3) directly avoids the Mosaic relayout a
+  (n_chunks, chunk_cells) view would cost on every balance tick.
+  """
   (csx, csy), (ncx, ncy) = cfg.chunk_size, cfg.n_chunks
   pad = jnp.full((ncx * csx, ncy * csy), fill, grid.dtype)
   pad = pad.at[:grid.shape[0], :grid.shape[1]].set(grid)
-  return (pad.reshape(ncx, csx, ncy, csy).transpose(0, 2, 1, 3)
-          .reshape(ncx * ncy, csx * csy))
+  return op(pad.reshape(ncx, csx, ncy, csy), axis=(1, 3))
 
 
 def _chunk_broadcast(vals: jax.Array, cfg: EnvConfig) -> jax.Array:
-  """(n_chunks,) per-chunk values -> (W, H) plane."""
+  """(ncx, ncy) per-chunk values -> (W, H) plane."""
   (csx, csy), (ncx, ncy) = cfg.chunk_size, cfg.n_chunks
   w, h = cfg.area
-  full = jnp.repeat(jnp.repeat(vals.reshape(ncx, ncy), csx, 0), csy, 1)
+  full = jnp.broadcast_to(vals[:, None, :, None],
+                          (ncx, csx, ncy, csy)).reshape(ncx * csx, ncy * csy)
   return full[:w, :h]
 
 
@@ -690,61 +789,58 @@ def _balance_phase(state: State, key: jax.Array, cfg: EnvConfig):
   pdist = jnp.abs(x - ppos[0]) + jnp.abs(y - ppos[1])
 
   k_gate, k_cells = jax.random.split(key)
-  seed = jax.random.bits(k_cells, (), jnp.uint32)
+  seed = jax.lax.bitcast_convert_type(
+      jax.random.bits(k_cells, (), jnp.uint32), jnp.int32)
 
-  # Per-chunk, per-class creature counts and material space.
-  etv = _chunk_view(T, cfg, 0)                        # (nch, cs)
-  matv = _chunk_view(M, cfg, 0)
-  counts = jnp.stack(
-      [(etv == e).sum(-1) for e in BAL_CLASSES], -1)  # (nch, 3)
-  grass_n = (matv == rules.MAT_GRASS).sum(-1)
-  path_n = (matv == rules.MAT_PATH).sum(-1)
-  touched = state.chunk_touched.reshape(-1)
+  # Per-chunk, per-class creature counts and material space — all (ncx,
+  # ncy) chunk planes from transpose-free axis reductions.
+  chsum = lambda mask: _chunk_reduce(mask.astype(jnp.int32), cfg, 0, jnp.sum)
+  counts = [chsum(T == e) for e in BAL_CLASSES]
+  grass_n = chsum(M == rules.MAT_GRASS)
+  path_n = chsum(M == rules.MAT_PATH)
+  touched = state.chunk_touched                       # (ncx, ncy)
 
   # Spawn/despawn targets (env.py:143-155).  int() truncation on the floats.
-  tmin = jnp.stack([
-      jnp.where(grass_n < 50, 0.0, 3.5 - 3 * light),
-      jnp.where(path_n < 6, 0.0, 1.0),
-      jnp.where(grass_n < 30, 0.0, 1.0)], -1)         # (nch, 3)
-  tmax = jnp.stack([
-      jnp.broadcast_to(3.5 - 3 * light, (nch,)),
-      jnp.full((nch,), 2.0),
-      jnp.broadcast_to(1.5 + light, (nch,))], -1)
+  zeros = jnp.zeros((ncx, ncy))
+  tmin = [jnp.where(grass_n < 50, 0.0, 3.5 - 3 * light),
+          jnp.where(path_n < 6, 0.0, 1.0),
+          jnp.where(grass_n < 30, 0.0, 1.0)]
+  tmax = [zeros + (3.5 - 3 * light), zeros + 2.0, zeros + (1.5 + light)]
 
-  gate = jax.random.uniform(k_gate, (nch, 3, 2))
-  want_spawn = (touched[:, None]
-                & (counts < jnp.trunc(tmin).astype(jnp.int32))
-                & (gate[..., 0] < jnp.asarray(BAL_SPAWN_P)))
-  want_despawn = (touched[:, None] & ~want_spawn
-                  & (counts > jnp.trunc(tmax).astype(jnp.int32))
-                  & (gate[..., 1] < jnp.asarray(BAL_DESPAWN_P)))
+  gate = jax.random.uniform(k_gate, (ncx, ncy, 3, 2))
+  want_spawn, want_despawn = [], []
+  for i in range(len(BAL_CLASSES)):
+    ws = (touched & (counts[i] < jnp.trunc(tmin[i]).astype(jnp.int32))
+          & (gate[..., i, 0] < BAL_SPAWN_P[i]))
+    want_spawn.append(ws)
+    want_despawn.append(
+        touched & ~ws & (counts[i] > jnp.trunc(tmax[i]).astype(jnp.int32))
+        & (gate[..., i, 1] < BAL_DESPAWN_P[i]))
 
   # Unique-within-chunk random scores: random high bits, cell rank low bits.
   rank = ((x % csx) * csy + y % csy).astype(jnp.int32)  # < csx*csy <= 4096
 
   def pick(member, chan):
     """Uniform random member cell per chunk -> (W, H) one-pick-per-chunk."""
-    bits = (_cell_bits(seed, chan, w, h) >> 13).astype(jnp.int32)
+    bits = _srl(_cell_bits(seed, chan, w, h), 13)
     score = jnp.where(member, (bits << 12) | rank, -1)
-    best = jnp.max(_chunk_view(score, cfg, -1), -1)     # (nch,)
+    best = _chunk_reduce(score, cfg, -1, jnp.max)       # (ncx, ncy)
     return member & (score == _chunk_broadcast(best, cfg)) & (score >= 0)
 
   despawn = jnp.zeros((w, h), bool)
   spawn_masks = []
   for i, etype in enumerate(BAL_CLASSES):
-    #
-
     # Despawn: uniform random creature of the class in the chunk, removed
     # when far enough from the player (env.py:175-179).
     d_pick = pick(T == etype, 8 + i)
     despawn = despawn | (
-        d_pick & _chunk_broadcast(want_despawn[:, i], cfg)
+        d_pick & _chunk_broadcast(want_despawn[i], cfg)
         & (pdist >= BAL_DESPAN[i]))
     # Spawn: uniform random cell of the class material (occupied cells are
     # candidates too — the reference picks first, then fails on occupancy).
     s_pick = pick(M == BAL_MATERIAL[i], 11 + i)
     spawn_masks.append(
-        s_pick & _chunk_broadcast(want_spawn[:, i], cfg)
+        s_pick & _chunk_broadcast(want_spawn[i], cfg)
         & (pdist >= BAL_SPAN[i]))
   return despawn, spawn_masks
 
@@ -785,13 +881,118 @@ def step(state: State, action: jax.Array,
   anyway, the cadence phase relative to episode start is the only
   (distribution-neutral) difference.
   """
-  w, h = cfg.area
   key, k_player, k_mob, k_balance = jax.random.split(state.key, 4)
   step_ = state.step + 1
   state = state.replace(step=step_, key=key)
 
   state, plant_spawn, plant_pos = _player_phase(state, action, k_player, cfg)
   state = _mob_phase(state, k_mob, cfg, plant_spawn, plant_pos)
+  return _finish_tick(state, k_balance, cfg, balance)
+
+
+def step_batch(states: State, actions: jax.Array,
+               cfg: EnvConfig = DEFAULT_CONFIG,
+               balance: bool | None = None,
+               engine: str = 'auto') -> Tuple[State, StepOut]:
+  """Batched tick over a leading env axis.
+
+  ``engine``: 'jnp' vmaps :func:`step`; 'pallas' runs the mob phase as one
+  fused TPU kernel (bit-identical results — same `_mob_core` trace);
+  'auto' picks pallas on TPU backends.  Key handling matches :func:`step`
+  exactly, so both engines produce identical trajectories.
+  """
+  if engine == 'auto':
+    engine = 'pallas' if jax.default_backend() == 'tpu' else 'jnp'
+  if engine == 'jnp':
+    return jax.vmap(lambda s, a: step(s, a, cfg, balance))(states, actions)
+
+  keys = jax.vmap(lambda k: jax.random.split(k, 4))(states.key)
+  step_ = states.step + 1
+  states = states.replace(step=step_, key=keys[:, 0])
+  states, plant_spawn, plant_pos = jax.vmap(
+      lambda s, a, k: _player_phase(s, a, k, cfg))(
+          states, actions, keys[:, 1])
+  states = _mob_phase_pallas(states, keys[:, 2], cfg, plant_spawn,
+                             plant_pos)
+  return jax.vmap(lambda s, k: _finish_tick(s, k, cfg, balance))(
+      states, keys[:, 3])
+
+
+def _mob_phase_pallas(states: State, keys, cfg: EnvConfig,
+                      plant_spawn, plant_pos, block: int = 32) -> State:
+  """The whole mob phase as ONE fused Pallas kernel, gridded over envs.
+
+  The XLA path materializes ~100 (N, C) intermediate planes to HBM per
+  tick; here every intermediate lives in VMEM and HBM sees exactly one
+  read and one write of the five narrow channel planes per env.  The
+  kernel body runs the same `_mob_core` trace as the jnp path, so results
+  are bit-identical (tests/test_step.py::test_pallas_engine_matches_jnp).
+  """
+  from jax.experimental import pallas as pl
+  from jax.experimental.pallas import tpu as pltpu
+
+  w, h = cfg.area
+  c = w * h
+  raw = jax.vmap(lambda s, k, ps, pp: _mob_core_args(s, k, ps, pp, cfg,
+                                                     widen=False))(
+      states, keys, plant_spawn, plant_pos)
+  M, T, Hp, A, F, px, py, sleeping, seed, plant_idx = raw
+  n = M.shape[0]
+  pad = (-n) % block
+  col = lambda s, dt: s.astype(dt).reshape(-1, 1)
+  ins = [M, T, Hp, A, F, col(px, jnp.int32), col(py, jnp.int32),
+         col(sleeping, jnp.int32), col(seed, jnp.int32),
+         col(plant_idx, jnp.int32)]
+  if pad:
+    ins = [jnp.concatenate(
+        [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]) for a in ins]
+  np_ = n + pad
+
+  def kernel(m_ref, t_ref, h_ref, a_ref, f_ref, px_ref, py_ref, sl_ref,
+             seed_ref, pi_ref, om, ot, oh, oa, of_, od):
+    cell = jax.lax.broadcasted_iota(jnp.int32, (block, c), 1)
+    i32 = lambda r: r[...].astype(jnp.int32)
+    outs = _mob_core(
+        cell, i32(m_ref), i32(t_ref), i32(h_ref), i32(a_ref), i32(f_ref),
+        px_ref[...], py_ref[...], sl_ref[...] != 0, seed_ref[...],
+        pi_ref[...], cfg)
+    mo, to, ho, ao, fo, dmg = outs
+    om[...] = mo.astype(om.dtype)
+    ot[...] = to.astype(ot.dtype)
+    oh[...] = ho.astype(oh.dtype)
+    oa[...] = ao.astype(oa.dtype)
+    of_[...] = fo.astype(of_.dtype)
+    od[...] = dmg
+
+  plane = lambda dt: jax.ShapeDtypeStruct((np_, c), dt)
+  spec_plane = pl.BlockSpec((block, c), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+  spec_col = pl.BlockSpec((block, 1), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+  outs = pl.pallas_call(
+      kernel,
+      grid=(np_ // block,),
+      in_specs=[spec_plane] * 5 + [spec_col] * 5,
+      out_specs=[spec_plane] * 5 + [spec_col],
+      out_shape=[plane(M.dtype), plane(T.dtype), plane(Hp.dtype),
+                 plane(A.dtype), plane(F.dtype),
+                 jax.ShapeDtypeStruct((np_, 1), jnp.int32)],
+      # ~80 live (block, C) int32 planes peak at ~20 MB for block=32; v5e
+      # has 128 MB of VMEM, the default scoped limit is only 16 MB.
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=100 * 1024 * 1024),
+      interpret=jax.default_backend() != 'tpu',  # CPU: test/debug mode
+  )(*ins)
+  outs = [o[:n] for o in outs]
+  outs = [o.astype(jnp.int32) for o in outs[:5]] + [outs[5]]
+  return jax.vmap(lambda s, *o: _mob_finish(s, o, cfg))(states, *outs)
+
+
+def _finish_tick(state: State, k_balance: jax.Array, cfg: EnvConfig,
+                 balance: bool | None) -> Tuple[State, StepOut]:
+  """Chunk balancing + bookkeeping + reward/done (one env)."""
+  w, h = cfg.area
+  step_ = state.step
 
   def _no_balance(state, key):
     del key
@@ -811,9 +1012,8 @@ def step(state: State, action: jax.Array,
 
   # Track chunks that held entities (the reference's defaultdict keys,
   # engine.py:36/:57/:78-79, consumed by env.py:90-95).
-  occupied = _chunk_view(state.ent.etype.astype(jnp.int32), cfg, 0)
-  touched = (state.chunk_touched.reshape(-1) | (occupied > 0).any(-1))
-  touched = touched.reshape(cfg.n_chunks)
+  touched = state.chunk_touched | _chunk_reduce(
+      state.ent.etype > 0, cfg, False, jnp.any)
 
   # Reward and termination (env.py:97-107).
   hp = state.player.inventory[rules.ITEM_HEALTH]

@@ -80,7 +80,10 @@ def generate_world(key: jax.Array, cfg: EnvConfig) -> state_lib.State:
   tables = rules.TABLES
 
   k_perm, k_mat, k_obj = jax.random.split(key, 3)
-  if cfg.noise_mode in ('fast', 'pallas'):
+  mode = cfg.noise_mode
+  if mode == 'auto':
+    mode = 'pallas' if jax.default_backend() == 'tpu' else 'fast'
+  if mode in ('fast', 'pallas'):
     perm = jax.random.randint(k_perm, (), 0, 2 ** 31 - 1)  # int seed
   else:
     perm = noise.perm_from_key(k_perm)
@@ -88,7 +91,7 @@ def generate_world(key: jax.Array, cfg: EnvConfig) -> state_lib.State:
   xs = jnp.arange(w, dtype=jnp.int32)
   ys = jnp.arange(h, dtype=jnp.int32)
   xy = jnp.stack(jnp.meshgrid(xs, ys, indexing='ij'), -1)  # (W, H, 2)
-  n = _noise_channels(xy, perm, cfg.noise_mode)
+  n = _noise_channels(xy, perm, mode)
 
   # --- material pass (worldgen.py:21-61) -------------------------------
   dist = jnp.sqrt(((xy - jnp.asarray([cx, cy])) ** 2)
