@@ -83,7 +83,8 @@ class CrafterEnv:
         discount=1.0 - out.dead.astype(jnp.float32),
         semantic=state_lib.semantic_view(state, self.cfg).astype(jnp.uint8),
         player_pos=state.player.pos,
-        reward=out.reward)
+        reward=out.reward,
+        ended=out.ended)
 
 
 class Env:
@@ -137,6 +138,11 @@ class Env:
         'semantic': np.asarray(info['semantic']),
         'player_pos': np.asarray(info['player_pos']),
         'reward': float(info['reward']),
+        # Our extension beyond the reference dict: pulses once on the tick
+        # the episode ends.  Equal to `done` here (the caller resets); the
+        # batched VecEnv latches `done` while awaiting an auto-reset slot,
+        # so stats consumers key on `ended` uniformly across both APIs.
+        'ended': bool(info['ended']),
     }
     return np.asarray(obs), float(reward), bool(done), info
 
@@ -277,8 +283,12 @@ def vec_step(vs: VecState, actions: jax.Array, cfg: EnvConfig,
   # Envs latched pending from an earlier overflow count as done whether or
   # not this tick's dynamics still agree (a dead env stepped again can
   # cross the regen threshold and report alive; it must reset regardless).
+  # `ended` pulses only on the tick an episode genuinely finishes: a
+  # pending env re-reporting done is the same episode still waiting, not a
+  # new one (stats keyed on `done` would re-count its achievements every
+  # tick of an overflow backlog).
   done = out.done | vs.pending
-  out = out.replace(done=done)
+  out = out.replace(done=done, ended=out.done & ~vs.pending)
   # The first r finished envs reset this step (overflow waits one step).
   rank = jnp.cumsum(done) - 1
   selected = done & (rank < r)

@@ -58,6 +58,10 @@ class PPOState:
   key: jax.Array
   update: jax.Array       # () int32
   env_steps: jax.Array    # () int64-ish counter (int32 is fine to 2B)
+  # On-device episode accumulators (SURVEY §5): running length/return per
+  # env, so stats cross update boundaries without host bookkeeping.
+  ep_len: jax.Array       # (N,) int32
+  ep_ret: jax.Array       # (N,) float32
 
 
 @struct.dataclass
@@ -67,7 +71,8 @@ class Transition:
   logp: jax.Array
   value: jax.Array
   reward: jax.Array       # training reward (zeroed in the NoReward variant)
-  done: jax.Array
+  done: jax.Array         # latched: stays true while awaiting auto-reset
+  ended: jax.Array        # pulses once on the tick an episode finishes
   raw_reward: jax.Array   # info['reward'] — what StatsRecorder accumulates
   achievements: jax.Array  # (N, 22) terminal-step counters for stats
 
@@ -94,9 +99,11 @@ class PPO:
     vec = vec_reset(home_keys(self.cfg.seed, self.cfg.num_envs),
                     self.env_cfg)
     obs = jax.vmap(self.core.observe)(vec.env)
+    n = self.cfg.num_envs
     return PPOState(
         params=params, opt_state=self.tx.init(params), vec=vec, obs=obs,
-        key=k_run, update=jnp.int32(0), env_steps=jnp.int32(0))
+        key=k_run, update=jnp.int32(0), env_steps=jnp.int32(0),
+        ep_len=jnp.zeros((n,), jnp.int32), ep_ret=jnp.zeros((n,)))
 
   # -- rollout -------------------------------------------------------------
 
@@ -117,7 +124,7 @@ class PPO:
                 else jnp.zeros_like(env_out.reward))
       tr = Transition(obs=obs, action=action, logp=logp, value=out.value,
                       reward=reward, done=env_out.done,
-                      raw_reward=env_out.reward,
+                      ended=env_out.ended, raw_reward=env_out.reward,
                       achievements=stepped.player.achievements)
       return (vec, next_obs, key), tr
 
@@ -196,12 +203,51 @@ class PPO:
         epoch, (ts.params, ts.opt_state, ts.key), None, length=cfg.epochs)
     metrics = jax.tree.map(lambda x: x.mean(), metrics)
     metrics['reward_per_step'] = traj.reward.mean()
-    metrics['episodes_done'] = traj.done.sum()
+    metrics['episodes_done'] = traj.ended.sum()
     ts = ts.replace(params=params, opt_state=opt_state, key=key,
                     update=ts.update + 1)
-    stats = dict(reward=traj.raw_reward, done=traj.done,
-                 achievements=traj.achievements)
+    ts, stats = self._episode_stats(ts, traj)
     return ts, metrics, stats
+
+  def _episode_stats(self, ts: PPOState, traj: Transition):
+    """Finished-episode records, accumulated and packed on device.
+
+    Episode length/return accumulate in the state (SURVEY §5's plan);
+    each update scatters the episodes that finished during the rollout
+    into a fixed (K,) buffer — the host drains K * ~100 bytes once per
+    update instead of looping over every (step, env) pair.
+    """
+    cfg = self.cfg
+
+    def scan_fn(carry, tr):
+      length, ret = carry
+      length = length + 1
+      ret = ret + tr.raw_reward
+      record = (length, ret)
+      # Reset on the *latched* done: an env waiting for an auto-reset slot
+      # re-zeroes every tick, so its junk waiting steps never leak into
+      # the next episode's length/return.
+      length = jnp.where(tr.done, 0, length)
+      ret = jnp.where(tr.done, 0.0, ret)
+      return (length, ret), record
+
+    (ep_len, ep_ret), (lens, rets) = jax.lax.scan(
+        scan_fn, (ts.ep_len, ts.ep_ret), traj)
+    # Record on `ended` (one pulse per episode) — NOT the latched `done`,
+    # which would re-emit a waiting env's achievements every tick.
+    ended = traj.ended.reshape(-1)
+    # Buffer sized for the synchronized-length-cap worst burst (all N envs
+    # finishing inside one rollout) plus steady-state churn.
+    k = cfg.num_envs + cfg.num_envs * cfg.rollout_len // 16
+    slot = jnp.where(ended, jnp.cumsum(ended) - 1, k)  # k = dropped
+    pack = lambda x: jnp.zeros((k,) + x.shape[2:], x.dtype).at[slot].set(
+        x.reshape((-1,) + x.shape[2:]), mode='drop')
+    count = ended.sum()
+    stats = dict(
+        count=jnp.minimum(count, k), dropped=jnp.maximum(count - k, 0),
+        lengths=pack(lens), returns=pack(rets),
+        achievements=pack(traj.achievements))
+    return ts.replace(ep_len=ep_len, ep_ret=ep_ret), stats
 
   def train_step(self, ts: PPOState):
     ts, metrics, _ = self._update(ts)
@@ -235,6 +281,8 @@ def make_sharded_train(env_cfg: EnvConfig, cfg: PPOConfig, mesh):
     obs = place(ts.obs, dp)
     rest = jax.tree.map(lambda leaf: place(leaf, repl),
                         (ts.params, ts.opt_state))
-    return ts.replace(params=rest[0], opt_state=rest[1], vec=vec, obs=obs)
+    return ts.replace(params=rest[0], opt_state=rest[1], vec=vec, obs=obs,
+                      ep_len=place(ts.ep_len, dp),
+                      ep_ret=place(ts.ep_ret, dp))
 
   return ppo, jax.jit(ppo.train_step, donate_argnums=(0,)), shard_state

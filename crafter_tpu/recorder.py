@@ -229,18 +229,46 @@ class VecStatsRecorder:
     self._length = np.zeros((num_envs,), np.int64)
     self._return = np.zeros((num_envs,), np.float64)
 
-  def add(self, reward, done, achievements):
+  def add(self, reward, done, achievements, ended=None):
+    """Record one step's batch.
+
+    ``ended`` (info['ended'], one pulse per finished episode) selects which
+    envs emit a stats line; it defaults to ``done``, which is only correct
+    when no env ever waits for an auto-reset slot — VecEnv latches ``done``
+    true while waiting, and emitting on it would re-count the episode.
+    Accumulators reset on the latched ``done`` either way, so waiting
+    ticks never leak into the next episode.
+    """
     reward = np.asarray(reward)
     done = np.asarray(done)
+    ended = done if ended is None else np.asarray(ended)
     self._length += 1
     self._return += reward
-    if done.any():
+    if ended.any():
       achievements = np.asarray(achievements)
-      for i in np.flatnonzero(done):
-        self._sink.episode_done(None, dict(
-            length=int(self._length[i]),
-            achievements={name: int(achievements[i, j])
-                          for j, name in enumerate(self._names)},
-            **{'return': float(self._return[i])}))
+      for i in np.flatnonzero(ended):
+        self._emit(int(self._length[i]), float(self._return[i]),
+                   achievements[i])
+    if done.any():
       self._length[done] = 0
       self._return[done] = 0.0
+
+  def add_episodes(self, count, lengths, returns, achievements):
+    """Drain an on-device episode buffer (ppo.PPO._episode_stats).
+
+    The accumulators live in the training state in this mode; only
+    finished rows cross to the host, once per update.
+    """
+    count = int(count)
+    lengths = np.asarray(lengths)[:count]
+    returns = np.asarray(returns)[:count]
+    achievements = np.asarray(achievements)[:count]
+    for i in range(count):
+      self._emit(int(lengths[i]), float(returns[i]), achievements[i])
+
+  def _emit(self, length, ret, ach_row):
+    self._sink.episode_done(None, dict(
+        length=length,
+        achievements={name: int(ach_row[j])
+                      for j, name in enumerate(self._names)},
+        **{'return': ret}))

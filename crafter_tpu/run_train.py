@@ -63,13 +63,20 @@ def main():
 
   steps_per_update = cfg.num_envs * cfg.rollout_len
   last = time.time()
+  dropped = 0
   while int(ts.env_steps) < args.steps:
     ts, metrics, stats = train_step(ts)
-    # Episode bookkeeping: per-step (reward, done, achievements) batches.
-    rew, done, ach = jax.device_get(
-        (stats['reward'], stats['done'], stats['achievements']))
-    for t in range(rew.shape[0]):
-      recorder.add(rew[t], done[t], ach[t])
+    # Episode bookkeeping: finished episodes accumulate on device
+    # (ppo.PPO._episode_stats); the host drains the packed buffer once
+    # per update — no per-step per-env Python loop.
+    count, lens, rets, achs, drop = jax.device_get(
+        (stats['count'], stats['lengths'], stats['returns'],
+         stats['achievements'], stats['dropped']))
+    recorder.add_episodes(count, lens, rets, achs)
+    dropped += int(drop)
+    if drop:
+      print(f'WARNING: episode buffer overflow, {int(drop)} episodes '
+            f'dropped this update ({dropped} total)', flush=True)
     if int(ts.update) % args.log_every == 0:
       sps = args.log_every * steps_per_update / (time.time() - last)
       last = time.time()

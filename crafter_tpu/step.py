@@ -97,6 +97,12 @@ class StepOut:
   reward: jax.Array        # () float32 — Δhealth/10 + 1.0 on new unlock
   done: jax.Array          # () bool — dead or episode length reached
   dead: jax.Array          # () bool — discount = 1 - dead (env.py:111)
+  # () bool — the episode ended on THIS tick.  Equal to `done` for the
+  # single env (the caller resets it, gym contract).  The batched path
+  # (env.py:vec_step) latches `done` true while an env waits for an
+  # auto-reset slot, so episode bookkeeping must key on `ended` — one
+  # pulse per episode — or every waiting tick re-counts the episode.
+  ended: jax.Array
 
 
 # ---------------------------------------------------------------------------
@@ -1029,4 +1035,4 @@ def _finish_tick(state: State, k_balance: jax.Array, cfg: EnvConfig,
 
   state = state.replace(env_last_health=hp, unlocked=unlocked,
                         chunk_touched=touched)
-  return state, StepOut(reward=reward, done=done, dead=dead)
+  return state, StepOut(reward=reward, done=done, dead=dead, ended=done)

@@ -19,7 +19,8 @@ def main(steps=1_000_000, num_envs=256, outdir='logdir/random'):
     actions = rng.integers(0, 17, num_envs)
     _, reward, done, info = env.step(actions)
     recorder.add(np.asarray(info['reward']), np.asarray(done),
-                 np.asarray(info['achievements']))
+                 np.asarray(info['achievements']),
+                 ended=np.asarray(info['ended']))
     done_steps += num_envs
   print('Recorded', done_steps, 'steps to', outdir)
 

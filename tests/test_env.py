@@ -115,6 +115,27 @@ class TestVecEnv:
     episodes = np.asarray(env.state.episode)
     assert episodes.sum() == 8 + 4
 
+  def test_ended_pulses_once_per_episode(self):
+    """`info['ended']` fires exactly once per episode even when envs queue
+    for an auto-reset slot, while `done` stays latched — stats keyed on
+    `done` would re-count a waiting env's achievements every tick."""
+    cfg = EnvConfig(length=10)
+    env = VecEnv(num_envs=8, cfg=cfg, seed=0, reset_batch=2)
+    env.reset()
+    ended_total = 0
+    done_total = 0
+    for i in range(24):
+      _, _, done, info = env.step(np.zeros(8, np.int64))
+      ended_total += int(np.asarray(info['ended']).sum())
+      done_total += int(np.asarray(done).sum())
+    # Each completed episode ends exactly once; with reset_batch=2 the
+    # 8-env length-cap wave drains over 4 ticks, so `done` (latched)
+    # fires many more times than `ended`.
+    episodes_started = int(np.asarray(env.state.episode).sum())
+    in_flight_done = int(np.asarray(env.state.pending).sum())
+    assert ended_total == episodes_started - 8 + in_flight_done
+    assert done_total > ended_total
+
   def test_obs_batch_shape_and_reward(self):
     env = VecEnv(num_envs=4, seed=0)
     obs = env.reset()

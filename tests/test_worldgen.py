@@ -85,17 +85,35 @@ def test_vmapped_batch():
   batch = jax.jit(jax.vmap(worldgen.generate_world, in_axes=(0, None)),
                   static_argnums=1)(keys, CFG)
   assert batch.mat_map.shape == (8, 64, 64)
-  # Batch element matches the unbatched run with the same key.  Worldgen is
-  # float32 threshold logic, and XLA may fuse/FMA the two programs
-  # differently, so a noise value sitting exactly on a threshold can flip a
-  # cell (~1 in 10k; the *step kernel* by contrast is integer-exact, see
-  # tests/test_step.py::test_noop_determinism).  ops/noise.py documents the
-  # lattice-boundary nudge that keeps this residual tiny.
+  # Batch element matches the unbatched run with the same key.  With
+  # noise_mode='fast', worldgen is float32 threshold logic and XLA may
+  # fuse/FMA the two programs differently, so a noise value sitting exactly
+  # on a threshold can flip a cell (~1 in 30k; the *step kernel* by
+  # contrast is integer-exact, see test_step.py::test_noop_determinism).
+  # The default 'pallas' noise is batch-exact — see
+  # test_pallas_noise_batched_equals_single below.
   single = jax.jit(worldgen.generate_world, static_argnums=1)(keys[3], CFG)
   mismatch = (np.asarray(batch.mat_map[3]) != np.asarray(single.mat_map)).mean()
   assert mismatch < 1e-3, mismatch
   # Different keys → different worlds.
   assert (np.asarray(batch.mat_map[0]) != np.asarray(batch.mat_map[1])).any()
+
+
+def test_pallas_noise_batched_equals_single():
+  """SURVEY §4(c) exactness: with the default TPU noise path (fixed-shape
+  Pallas blocks — the same kernel binary regardless of batch), batched and
+  single worldgen agree on 100% of cells."""
+  cfg = EnvConfig(noise_mode='pallas')
+  keys = jax.random.split(jax.random.PRNGKey(5), 8)
+  batch = jax.jit(jax.vmap(worldgen.generate_world, in_axes=(0, None)),
+                  static_argnums=1)(keys, cfg)
+  single = jax.jit(worldgen.generate_world, static_argnums=1)
+  for i in range(8):
+    s = single(keys[i], cfg)
+    np.testing.assert_array_equal(np.asarray(batch.mat_map[i]),
+                                  np.asarray(s.mat_map))
+    np.testing.assert_array_equal(np.asarray(batch.ent.etype[i]),
+                                  np.asarray(s.ent.etype))
 
 
 def test_average_spawn_counts():
