@@ -38,7 +38,7 @@ def _setup_jax():
 
 
 def bench_engine(num_envs, scan_len, repeats=3, render=False,
-                 reset_batch=128):
+                 reset_batch=None):
   jax = _setup_jax()
   import jax.numpy as jnp
   from crafter_tpu.config import EnvConfig
@@ -47,6 +47,15 @@ def bench_engine(num_envs, scan_len, repeats=3, render=False,
 
   cfg = EnvConfig(reward=False)
   core = CrafterEnv(cfg) if render else None
+  if reset_batch is None:
+    # The VecEnv default sizing: matched to steady-state reset demand
+    # (~N/170 episodes end per step under a random policy; 32 @ 4096 envs
+    # keeps the pending queue drained with max_pending ~10, measured over
+    # 1000-step runs through the synchronized starvation wave).  An
+    # undersized batch silently floods the pending queue — most envs
+    # then step as junk while waiting — so the honest bench uses the
+    # same heuristic the product does.
+    reset_batch = min(num_envs, max(32, num_envs // 128))
 
   @jax.jit
   def loop(vs, key):

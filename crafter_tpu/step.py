@@ -504,7 +504,20 @@ def _mob_core(cell, M, T, Hp, A, F, px, py, sleeping, seed, plant_idx, cfg):
   def read_at(plane, idx):
     return jnp.sum(jnp.where(cell == idx, plane, 0), -1, keepdims=True)
 
-  u = [_cell_uniform_xy(seed, c, x, y) for c in range(8)]
+  # Per-cell randomness: the 7 probability gates + the 2-bit direction draw
+  # are sliced as 16-bit fields out of FOUR avalanche hashes instead of one
+  # hash per draw — the hash chain (two fmix rounds, four int32 multiplies)
+  # is the single most expensive item in the kernel, and a `u < p` float
+  # compare on a 24-bit uniform is equivalent to an integer compare of a
+  # 16-bit field against round(p * 2^16) up to |dp| <= 2^-17, far below
+  # anything the distribution tests (or 1M-step score reproduction) can
+  # see.  Fields of one hash are disjoint bit ranges — iid draws.
+  hb = [_cell_bits_plane(seed, c, x, y) for c in range(4)]
+  lo = lambda b: b & jnp.int32(0xFFFF)
+  hi = lambda b: _srl(b, 16)
+  u16 = (lo(hb[0]), hi(hb[0]), lo(hb[1]), hi(hb[1]),
+         lo(hb[2]), hi(hb[2]), lo(hb[3]))
+  P16 = lambda p: jnp.int32(round(p * 65536.0))
 
   pdist = jnp.abs(x - px) + jnp.abs(y - py)
   pending = cell == plant_idx   # all-False when plant_idx < 0
@@ -521,23 +534,23 @@ def _mob_core(cell, M, T, Hp, A, F, px, py, sleeping, seed, plant_idx, cfg):
   dying = active & (Hp <= 0) & (is_cow | is_zom | is_skel)
 
   # --- decisions (source-cell domain) ------------------------------------
-  rdx, rdy = _dirvec(jnp.minimum((u[7] * 4).astype(jnp.int32), 3))
+  rdx, rdy = _dirvec(_srl(hb[3], 16) & 3)
   # Cow: random walk with p=0.5 (objects.py:277-279).
-  cow_wants = u[0] < 0.5
+  cow_wants = u16[0] < P16(0.5)
   # Zombie: chase within dist 8 with p=0.9 (long axis p=0.8), else random
   # walk (objects.py:297-301).
-  chase = (pdist <= 8) & (u[0] < 0.9)
-  twx, twy = _toward(px, py, x, y, u[1] < 0.8)
+  chase = (pdist <= 8) & (u16[0] < P16(0.9))
+  twx, twy = _toward(px, py, x, y, u16[1] < P16(0.8))
   zx = jnp.where(chase, twx, rdx)
   zy = jnp.where(chase, twy, rdy)
   # Skeleton (objects.py:327-341): retreat at dist<=3; on a failed retreat
   # fall through the elif chain (shoot / approach / walk).
   retreat = pdist <= 3
-  rwx, rwy = _toward(px, py, x, y, u[2] < 0.6)
-  c_shoot = (pdist <= 5) & (u[3] < 0.5)
-  c_approach = (pdist <= 8) & (u[4] < 0.3)
-  c_walk = u[5] < 0.2
-  awx, awy = _toward(px, py, x, y, u[6] < 0.6)
+  rwx, rwy = _toward(px, py, x, y, u16[2] < P16(0.6))
+  c_shoot = (pdist <= 5) & (u16[3] < P16(0.5))
+  c_approach = (pdist <= 8) & (u16[4] < P16(0.3))
+  c_walk = u16[5] < P16(0.2)
+  awx, awy = _toward(px, py, x, y, u16[6] < P16(0.6))
   appr = ~c_shoot & c_approach
   sox = jnp.where(appr, awx, rdx)
   soy = jnp.where(appr, awy, rdy)
@@ -686,6 +699,13 @@ def _mob_core(cell, M, T, Hp, A, F, px, py, sleeping, seed, plant_idx, cfg):
   A1 = jnp.where(arrow_ok_src, 4, A1)  # shooter reloads
 
   return M, T1, H1, A1, F1, player_dmg
+
+
+def _cell_bits_plane(seed, chan: int, x, y):
+  """Per-cell int32 random bits from (x, y) coordinate planes."""
+  v = (seed + _i32c(0x9E3779B9) * jnp.int32(chan)
+       + x * _i32c(0x85EBCA6B) + y * _i32c(0xC2B2AE35))
+  return _fmix(_fmix(v))
 
 
 def _cell_uniform_xy(seed, chan: int, x, y):
