@@ -569,14 +569,18 @@ def _mob_core(cell, M, T, Hp, A, F, px, py, sleeping, seed, plant_idx, cfg):
   # Per-cell target attributes via per-direction shifted planes.
   occ0 = (T > 0) | pending   # the fresh plant's cell counts as occupied
   #                            for every check this tick (objects.py:248)
+  # Roll diet: material (bits 0-3) and occupancy (bit 4) travel in ONE
+  # pulled plane per direction (8 rolls -> 4).
+  q = M | (occ0.astype(jnp.int32) << 4)
   tmat = jnp.zeros_like(M)
   tocc = jnp.zeros_like(pending)
   inside_t = jnp.zeros_like(pending)
   for d in range(4):
     dx, dy = DIRS[d]
     sel = (mvx == dx) & (mvy == dy)
-    tmat = jnp.where(sel, pull(M, d), tmat)
-    tocc = tocc | (sel & pull(occ0, d))
+    qd = pull(q, d)
+    tmat = jnp.where(sel, qd & 15, tmat)
+    tocc = tocc | (sel & (qd >= 16))
     nx, ny = x + dx, y + dy
     inside_t = inside_t | (
         sel & (nx >= 0) & (nx < w) & (ny >= 0) & (ny < h))
@@ -596,62 +600,71 @@ def _mob_core(cell, M, T, Hp, A, F, px, py, sleeping, seed, plant_idx, cfg):
   wants = active & ~dying & (
       (is_cow & cow_wants) | is_zom | (is_skel & skel_wants) | a_fly)
 
-  # --- movement: four claim planes + direction-priority select -----------
+  # --- movement feasibility ----------------------------------------------
   walk_ok = ((is_arrow & _mat_in(tmat, t.walkable_arrow))
              | (~is_arrow & _mat_in(tmat, t.walkable_mob)))
   feasible = inside_t & walk_ok & ~tocc
   valid = wants & feasible & moving
 
-  claims = []
+  # --- arrow impacts: damage at the target cell, applied pre-move so it
+  # travels with a mob that also moves this tick (the round-1 semantics).
+  # Arrows destroy tables/furnaces into path (objects.py:380-382); the
+  # masked select is idempotent, so several arrows smashing one cell are
+  # fine (unlike round 1's summed scatter).  Roll diet: hit-damage (bit 0)
+  # and smash (bit 1) travel in ONE pushed plane per direction (8 -> 4).
+  smash_src = a_block & ((tmat == rules.MAT_TABLE)
+                         | (tmat == rules.MAT_FURNACE))
+  fx = a_hit.astype(jnp.int32) | (smash_src.astype(jnp.int32) << 1)
+  dmg = jnp.zeros_like(M)
+  smash = jnp.zeros_like(pending)
+  for d in range(4):
+    fd = push(jnp.where(F == d, fx, 0), d)
+    dmg = dmg + 2 * (fd & 1)
+    smash = smash | (fd >= 2)
+  player_dmg = read_at(dmg, px * h + py)
+  Hp = jnp.maximum(0, Hp - jnp.where(T > rules.E_PLAYER, dmg, 0))
+  M = jnp.where(smash, rules.MAT_PATH, M)
+
+  # --- plants grow before moving planes are built (objects.py:405-407).
+  reload = jnp.where(active & is_skel, jnp.maximum(0, A - 1), A)
+  A = jnp.where(active & is_plant, A + 1, A)
+  A = jnp.where(is_skel, reload, A)
+
+  # --- movement: claim + carry in ONE pushed plane per direction ---------
+  # The packed plane holds everything a target cell needs from its source:
+  # type (bits 0-2), facing (3-4), post-damage health (5-12), counter
+  # (13-16; only mob cooldown/reload/arrow=0 ever moves — plants are not
+  # movers — so 4 bits suffice), move direction (17-18), validity (19).
+  # Cuts 8 claim rolls + 16 carry rolls down to 4 pushes + 4 pulls; ties
+  # keep the direction-priority order of the reference's claim scan.
+  pdir = jnp.where(mvx == -1, 0, jnp.where(mvx == 1, 1,
+                                           jnp.where(mvy == -1, 2, 3)))
+  pk = (T | (F << 3) | (Hp << 5) | ((A & 15) << 13) | (pdir << 17)
+        | (valid.astype(jnp.int32) << 19))
   taken = jnp.zeros_like(pending)
   success = jnp.zeros_like(pending)
+  T1, H1, A1, F1 = T, Hp, A, F
   for d in range(4):
-    mover_d = valid & (mvx == DIRS[d][0]) & (mvy == DIRS[d][1])
-    win_d = push(mover_d, d) & ~taken
+    pd = push(pk, d)
+    win_d = (pd >= (1 << 19)) & ((_srl(pd, 17) & 3) == d) & ~taken
     taken = taken | win_d
-    claims.append(win_d)
+    T1 = jnp.where(win_d, pd & 7, T1)
+    F1 = jnp.where(win_d, _srl(pd, 3) & 3, F1)
+    H1 = jnp.where(win_d, _srl(pd, 5) & 255, H1)
+    A1 = jnp.where(win_d, _srl(pd, 13) & 15, A1)
+    mover_d = valid & (mvx == DIRS[d][0]) & (mvy == DIRS[d][1])
     success = success | (pull(win_d, d) & mover_d)
+  # Vacated cells empty out; a claim target was empty pre-move (tocc), so
+  # no cell is both a winner and a successful mover.
+  T1 = jnp.where(success, 0, T1)
 
   # --- skeleton shooting decision (objects.py:330-351).  A dead skeleton
   # "moves" whenever the retreat cell is free (World.move no-ops on removed
   # objects but Object.move still reports success, engine.py:67-69).
   s_moved = ((dying & retreat & feasible)
              | (~dying & retreat & success))
-  reload = jnp.where(active & is_skel, jnp.maximum(0, A - 1), A)
   shoot = active & is_skel & ~s_moved & c_shoot & (reload == 0)
   shvx, shvy = _toward(px, py, x, y, True)
-
-  # --- arrow impacts: damage at the target cell, applied pre-move so it
-  # travels with a mob that also moves this tick (the round-1 semantics).
-  dmg = jnp.zeros_like(M)
-  for d in range(4):
-    dmg = dmg + 2 * push(a_hit & (F == d), d).astype(jnp.int32)
-  player_dmg = read_at(dmg, px * h + py)
-  Hp = jnp.maximum(0, Hp - jnp.where(T > rules.E_PLAYER, dmg, 0))
-  # Arrows destroy tables/furnaces into path (objects.py:380-382); the
-  # masked select is idempotent, so several arrows smashing one cell are
-  # fine (unlike round 1's summed scatter).
-  smash_src = a_block & ((tmat == rules.MAT_TABLE)
-                         | (tmat == rules.MAT_FURNACE))
-  smash = jnp.zeros_like(pending)
-  for d in range(4):
-    smash = smash | push(smash_src & (F == d), d)
-  M = jnp.where(smash, rules.MAT_PATH, M)
-
-  # --- plants grow before moving planes are built (objects.py:405-407).
-  A = jnp.where(active & is_plant, A + 1, A)
-  A = jnp.where(is_skel, reload, A)
-
-  # --- apply movement: carry every channel through the claim planes ------
-  T1 = jnp.where(success, 0, T)
-  H1 = Hp
-  A1 = A
-  F1 = F
-  for d in range(4):
-    T1 = jnp.where(claims[d], push(T, d), T1)
-    H1 = jnp.where(claims[d], push(Hp, d), H1)
-    A1 = jnp.where(claims[d], push(A, d), A1)
-    F1 = jnp.where(claims[d], push(F, d), F1)
 
   # --- zombie melee (objects.py:302-312): post-move adjacency, cooldown
   # counts down only while adjacent, 7 damage if the player sleeps.
