@@ -203,6 +203,26 @@ def _fmix(v: jax.Array) -> jax.Array:
   return v
 
 
+def _tick_seeds(key: jax.Array, step_: jax.Array):
+  """Three per-phase int32 seeds from (episode key, step counter).
+
+  ``key`` is the per-env episode key installed at reset; it stays fixed
+  for the whole episode and every per-tick draw derives from counter
+  hashing on (key, step, phase) — a batched 4-way threefry re-split was
+  ~15% of the tick at 4096 envs.  (key, step) pairs never repeat because
+  auto-reset installs a fresh episode key.
+  """
+  ki = jax.lax.bitcast_convert_type(jax.random.key_data(key), jnp.int32)
+  base = _fmix(ki[0] ^ _fmix(ki[1] + step_ * _i32c(0x9E3779B9)))
+  return (base, _fmix(base + _i32c(0x85EBCA6B)),
+          _fmix(base + _i32c(0xC2B2AE35)))
+
+
+def _seed_uniform(seed: jax.Array) -> jax.Array:
+  """One float32 uniform in [0, 1) from an int32 seed (24-bit mantissa)."""
+  return _srl(_fmix(seed), 8).astype(jnp.float32) * (1.0 / (1 << 24))
+
+
 def _cell_bits(seed: jax.Array, chan: int, w: int, h: int) -> jax.Array:
   """Per-cell int32 random bits from a counter-based hash.
 
@@ -253,7 +273,7 @@ def _inside_scalar(pos: jax.Array, area) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _player_phase(state: State, action: jax.Array, key: jax.Array,
+def _player_phase(state: State, action: jax.Array, seed: jax.Array,
                   cfg: EnvConfig):
   """Pure re-derivation of Player.update (objects.py:99-131).
 
@@ -356,7 +376,7 @@ def _player_phase(state: State, action: jax.Array, key: jax.Array,
   M = jnp.where(oh_t & can_collect, _tread(t.collect_leaves, tmat), M)
   prob = jnp.sum(jnp.where(tmat == jnp.arange(rules.N_MATERIALS),
                            jnp.asarray(t.collect_prob), 0.0))
-  got = jax.random.uniform(key) <= prob
+  got = _seed_uniform(seed) <= prob
   receive = can_collect & got
   inv = inv + jnp.where(receive, _tread(t.collect_receive, tmat), 0)
   cach = _tread(t.collect_ach, tmat)
@@ -734,7 +754,7 @@ def _cell_uniform_xy(seed, chan: int, x, y):
   return _srl(bits, 8).astype(jnp.float32) * (1.0 / (1 << 24))
 
 
-def _mob_core_args(state: State, key: jax.Array, plant_spawn, plant_pos,
+def _mob_core_args(state: State, seed: jax.Array, plant_spawn, plant_pos,
                    cfg: EnvConfig, widen: bool = True):
   """Flatten one env's state into `_mob_core` operands (minus `cell`).
 
@@ -743,8 +763,7 @@ def _mob_core_args(state: State, key: jax.Array, plant_spawn, plant_pos,
   w, h = cfg.area
   flat = lambda m: (m.reshape(m.shape[:-2] + (w * h,)).astype(jnp.int32)
                     if widen else m.reshape(m.shape[:-2] + (w * h,)))
-  seed = jax.lax.bitcast_convert_type(
-      jax.random.bits(key, (), jnp.uint32), jnp.int32)
+
   plant_idx = jnp.where(plant_spawn,
                         plant_pos[..., 0] * h + plant_pos[..., 1], -1)
   return (flat(state.mat_map), flat(state.ent.etype),
@@ -770,12 +789,12 @@ def _mob_finish(state: State, outs, cfg: EnvConfig) -> State:
                        player=player)
 
 
-def _mob_phase(state: State, key: jax.Array, cfg: EnvConfig,
+def _mob_phase(state: State, seed: jax.Array, cfg: EnvConfig,
                plant_spawn, plant_pos) -> State:
   """jnp backend: one env, flat (C,) planes."""
   w, h = cfg.area
   cell = jnp.arange(w * h, dtype=jnp.int32)
-  outs = _mob_core(cell, *_mob_core_args(state, key, plant_spawn, plant_pos,
+  outs = _mob_core(cell, *_mob_core_args(state, seed, plant_spawn, plant_pos,
                                          cfg), cfg)
   return _mob_finish(state, outs, cfg)
 
@@ -807,7 +826,7 @@ def _chunk_broadcast(vals: jax.Array, cfg: EnvConfig) -> jax.Array:
   return full[:w, :h]
 
 
-def _balance_phase(state: State, key: jax.Array, cfg: EnvConfig):
+def _balance_phase(state: State, seed: jax.Array, cfg: EnvConfig):
   """Spawn/despawn mobs toward daylight-dependent per-chunk targets.
 
   The reference visits every chunk that ever held an object (a defaultdict
@@ -827,9 +846,7 @@ def _balance_phase(state: State, key: jax.Array, cfg: EnvConfig):
   x, y = _iota2(w, h)
   pdist = jnp.abs(x - ppos[0]) + jnp.abs(y - ppos[1])
 
-  k_gate, k_cells = jax.random.split(key)
-  seed = jax.lax.bitcast_convert_type(
-      jax.random.bits(k_cells, (), jnp.uint32), jnp.int32)
+
 
   # Per-chunk, per-class creature counts and material space — all (ncx,
   # ncy) chunk planes from transpose-free axis reductions.
@@ -846,7 +863,11 @@ def _balance_phase(state: State, key: jax.Array, cfg: EnvConfig):
           jnp.where(grass_n < 30, 0.0, 1.0)]
   tmax = [zeros + (3.5 - 3 * light), zeros + 2.0, zeros + (1.5 + light)]
 
-  gate = jax.random.uniform(k_gate, (ncx, ncy, 3, 2))
+  # Spawn/despawn gate draws from the same counter hash as the cell picks
+  # (disjoint stream: negative channel offsets vs pick()'s channels 8-14).
+  gidx = jnp.arange(nch * 6, dtype=jnp.int32).reshape(ncx, ncy, 3, 2)
+  gate = (_srl(_fmix(_fmix(seed + _i32c(0x27D4EB2F) * (gidx + 1))), 8)
+          .astype(jnp.float32) * (1.0 / (1 << 24)))
   want_spawn, want_despawn = [], []
   for i in range(len(BAL_CLASSES)):
     ws = (touched & (counts[i] < jnp.trunc(tmin[i]).astype(jnp.int32))
@@ -920,13 +941,13 @@ def step(state: State, action: jax.Array,
   anyway, the cadence phase relative to episode start is the only
   (distribution-neutral) difference.
   """
-  key, k_player, k_mob, k_balance = jax.random.split(state.key, 4)
   step_ = state.step + 1
-  state = state.replace(step=step_, key=key)
+  s_player, s_mob, s_balance = _tick_seeds(state.key, step_)
+  state = state.replace(step=step_)
 
-  state, plant_spawn, plant_pos = _player_phase(state, action, k_player, cfg)
-  state = _mob_phase(state, k_mob, cfg, plant_spawn, plant_pos)
-  return _finish_tick(state, k_balance, cfg, balance)
+  state, plant_spawn, plant_pos = _player_phase(state, action, s_player, cfg)
+  state = _mob_phase(state, s_mob, cfg, plant_spawn, plant_pos)
+  return _finish_tick(state, s_balance, cfg, balance)
 
 
 def step_batch(states: State, actions: jax.Array,
@@ -945,19 +966,19 @@ def step_batch(states: State, actions: jax.Array,
   if engine == 'jnp':
     return jax.vmap(lambda s, a: step(s, a, cfg, balance))(states, actions)
 
-  keys = jax.vmap(lambda k: jax.random.split(k, 4))(states.key)
   step_ = states.step + 1
-  states = states.replace(step=step_, key=keys[:, 0])
+  s_player, s_mob, s_balance = jax.vmap(_tick_seeds)(states.key, step_)
+  states = states.replace(step=step_)
   states, plant_spawn, plant_pos = jax.vmap(
       lambda s, a, k: _player_phase(s, a, k, cfg))(
-          states, actions, keys[:, 1])
-  states = _mob_phase_pallas(states, keys[:, 2], cfg, plant_spawn,
+          states, actions, s_player)
+  states = _mob_phase_pallas(states, s_mob, cfg, plant_spawn,
                              plant_pos)
   return jax.vmap(lambda s, k: _finish_tick(s, k, cfg, balance))(
-      states, keys[:, 3])
+      states, s_balance)
 
 
-def _mob_phase_pallas(states: State, keys, cfg: EnvConfig,
+def _mob_phase_pallas(states: State, seeds, cfg: EnvConfig,
                       plant_spawn, plant_pos, block: int = 32) -> State:
   """The whole mob phase as ONE fused Pallas kernel, gridded over envs.
 
@@ -974,7 +995,7 @@ def _mob_phase_pallas(states: State, keys, cfg: EnvConfig,
   c = w * h
   raw = jax.vmap(lambda s, k, ps, pp: _mob_core_args(s, k, ps, pp, cfg,
                                                      widen=False))(
-      states, keys, plant_spawn, plant_pos)
+      states, seeds, plant_spawn, plant_pos)
   M, T, Hp, A, F, px, py, sleeping, seed, plant_idx = raw
   n = M.shape[0]
   pad = (-n) % block
