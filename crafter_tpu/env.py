@@ -319,11 +319,19 @@ def vec_step(vs: VecState, actions: jax.Array, cfg: EnvConfig,
   init_hp = jnp.int32(tables.item_initial[rules.ITEM_HEALTH])
   sel = lambda const, old: jnp.where(
       selected.reshape((n,) + (1,) * (old.ndim - 1)), const, old)
-  # Worldgen derives the env PRNG stream from its input key
-  # (worldgen.py:generate_world's fold_in tag) — reproduce it closed-form.
-  fresh_keys = jax.vmap(lambda hk, ep: jax.random.fold_in(
-      jax.random.fold_in(hk, ep), 0x5eed))(
-          vs.home_key, ep_next.astype(jnp.uint32))
+  # Episode keys for reset envs are exactly what worldgen stored
+  # (fresh.key) — scatter them like every other array leaf.  Splitting the
+  # uint32 words into 16-bit halves keeps the float32 one-hot matmul exact.
+  # (The previous closed-form fold_in chain re-ran two serialized threefry
+  # passes over all N envs every tick: ~1.3 ms at 4096 envs.)
+  halves = lambda kd: jnp.stack(
+      [kd.astype(jnp.int32) & 0xFFFF,
+       (kd >> 16).astype(jnp.int32)], -1)
+  kd_merged = rows_merge(halves(jax.random.key_data(env.key)),
+                         halves(jax.random.key_data(fresh.key)),
+                         precise=True)
+  kd_merged = (kd_merged[..., 0] | (kd_merged[..., 1] << 16)
+               ).astype(jnp.uint32)
   env = State(
       mat_map=rows_merge(env.mat_map, fresh.mat_map),
       ent=EntMaps(
@@ -343,9 +351,7 @@ def vec_step(vs: VecState, actions: jax.Array, cfg: EnvConfig,
           recover=sel(0, env.player.recover),
           last_health=sel(init_hp, env.player.last_health)),
       step=sel(0, env.step),
-      key=jax.random.wrap_key_data(jnp.where(
-          selected[:, None], jax.random.key_data(fresh_keys),
-          jax.random.key_data(env.key))),
+      key=jax.random.wrap_key_data(kd_merged),
       unlocked=sel(False, env.unlocked),
       env_last_health=sel(init_hp, env.env_last_health),
       chunk_touched=rows_merge(env.chunk_touched, fresh.chunk_touched))
