@@ -50,13 +50,36 @@ def replicate(tree, mesh: Mesh):
 
 
 def psum_stats(tree, mesh: Mesh):
-  """All-reduce per-host stats over the mesh (ICI/DCN via XLA psum)."""
+  """All-reduce per-host stats over the mesh (ICI/DCN via XLA psum).
+
+  Rank>=1 leaves are treated as 'dp'-sharded arrays and summed across the
+  whole mesh.  Rank-0 leaves are treated as *per-process partial sums*
+  (host-side counters): each process contributes its scalar once, and the
+  result is the sum over all processes — a DCN allreduce on a multi-host
+  slice, the identity on one.
+  """
   from jax.experimental.shard_map import shard_map
+
+  def lift(leaf):
+    if getattr(leaf, 'ndim', 0) >= 1:
+      return leaf
+    # Spread the scalar over this process's local devices so the mesh-wide
+    # sum counts each process's contribution exactly once.
+    n_local = jax.local_device_count()
+    local = np.full((n_local,), np.float64(leaf) / n_local, np.float32)
+    return jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P('dp')), local)
+
+  was_scalar = jax.tree.map(lambda l: getattr(l, 'ndim', 0) == 0, tree)
+  lifted = jax.tree.map(lift, tree)
 
   @jax.jit
   def reduce(t):
     def f(local):
-      return jax.tree.map(lambda x: jax.lax.psum(x, 'dp'), local)
+      def one(x, sq):
+        out = jax.lax.psum(x, 'dp')
+        return out.sum() if sq else out
+      return jax.tree.map(one, local, was_scalar)
     return shard_map(f, mesh=mesh, in_specs=P('dp'), out_specs=P())(t)
 
-  return reduce(tree)
+  return reduce(lifted)
