@@ -270,56 +270,127 @@ def _inside_scalar(pos: jax.Array, area) -> jax.Array:
 
 # ---------------------------------------------------------------------------
 # Phase 1: player update (objects.py:99-261).
+#
+# Like the mob phase, the player update is written ONCE as a flat-plane core
+# (`_player_core`) shared verbatim by two backends: vmapped jnp per env (CPU
+# and the single-env path) and the fused Pallas tick kernel on TPU
+# (`_tick_pallas`), where it runs back-to-back with `_mob_core` so the five
+# channel planes make exactly one HBM round trip per tick.
+#
+# Core conventions (both backends execute the same trace):
+#   * planes are (..., C) int32 over flat cells (x-major, C = W*H);
+#   * per-env scalars are (..., 1) — () batch dims under vmap, (E,) in-kernel;
+#   * the inventory is (..., 16) and achievements (..., 22) int32;
+#   * every table lookup is a static compare-select unroll over the (tiny,
+#     sparse) rule tables — scalar constants only, which Mosaic lowers
+#     natively (dynamic gathers and array constants do not).
 # ---------------------------------------------------------------------------
 
 
-def _player_phase(state: State, action: jax.Array, seed: jax.Array,
-                  cfg: EnvConfig):
-  """Pure re-derivation of Player.update (objects.py:99-131).
+def _lane_iota(n: int, like: jax.Array) -> jax.Array:
+  """int32 [0..n) along a fresh last axis with ``like``'s batch dims."""
+  shape = like.shape[:-1] + (n,)
+  return jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
+
+
+def _t1(idx: jax.Array, table, default: int = 0) -> jax.Array:
+  """Static 1-D int table lookup by compare-select; OOB reads ``default``."""
+  out = jnp.full(idx.shape, default, jnp.int32)
+  for i, v in enumerate(np.asarray(table).tolist()):
+    if v != default:
+      out = jnp.where(idx == i, jnp.int32(v), out)
+  return out
+
+
+def _t1f(idx: jax.Array, table) -> jax.Array:
+  """Static 1-D float table lookup by compare-select; OOB reads 0."""
+  out = jnp.zeros(idx.shape, jnp.float32)
+  for i, v in enumerate(np.asarray(table, np.float32).tolist()):
+    if v != 0.0:
+      out = jnp.where(idx == i, jnp.float32(v), out)
+  return out
+
+
+def _req_ok(idx: jax.Array, inv: jax.Array, table) -> jax.Array:
+  """``all(inv >= table[idx])`` for a sparse static (rows, 16) cost table."""
+  tb = np.asarray(table)
+  ok = jnp.ones(idx.shape, bool)
+  for r, j in zip(*np.nonzero(tb)):
+    ok = ok & ((idx != int(r)) | (inv[..., int(j):int(j) + 1] >= int(tb[r, j])))
+  return ok
+
+
+def _row_add(idx: jax.Array, cond: jax.Array, inv: jax.Array, table,
+             sign: int = 1) -> jax.Array:
+  """``inv +/- where(cond, table[idx], 0)`` for a sparse static cost table."""
+  tb = np.asarray(table)
+  lane = _lane_iota(tb.shape[1], inv)
+  for r, j in zip(*np.nonzero(tb)):
+    delta = sign * int(tb[r, j])
+    inv = jnp.where(cond & (idx == int(r)) & (lane == int(j)),
+                    inv + delta, inv)
+  return inv
+
+
+def _ach_add(ach: jax.Array, idx: jax.Array, cond: jax.Array) -> jax.Array:
+  """achievements[idx] += 1 where ``cond`` (one-hot compare, no scatter)."""
+  lane = _lane_iota(rules.N_ACHIEVEMENTS, ach)
+  return ach + ((lane == idx) & cond).astype(jnp.int32)
+
+
+def _player_core(cell, M, T, Hp, A, action, facing, px, py, sleeping,
+                 hunger, thirst, fatigue, recover, last_health, inv, ach,
+                 seed, cfg: EnvConfig):
+  """Pure re-derivation of Player.update (objects.py:99-131) on flat planes.
 
   Scalar decision logic over a handful of one-hot plane reads; all world
   writes are masked selects at the (single) target cell.  Returns the
-  post-player state plus a pending plant-spawn request (applied after the
-  mob phase so the fresh plant does not update this tick, matching the
-  reference's copy-at-loop-start iteration, engine.py:41-44).
+  updated planes, the player record fields, and the pending plant-spawn
+  cell index (-1 = none; applied after the mob phase so the fresh plant
+  does not update this tick, matching the reference's copy-at-loop-start
+  iteration, engine.py:41-44).
   """
   t = rules.TABLES
   w, h = cfg.area
-  p = state.player
-  inv = p.inventory
-  M = state.mat_map.astype(jnp.int32)
-  T = state.ent.etype.astype(jnp.int32)
-  Hp = state.ent.health.astype(jnp.int32)
-  A = state.ent.aux.astype(jnp.int32)
-  pos = p.pos
-  energy_max = jnp.int32(t.item_max[rules.ITEM_ENERGY])
+  energy_max = int(t.item_max[rules.ITEM_ENERGY])
+  lane16 = _lane_iota(rules.N_ITEMS, inv)
+
+  def read_at(plane, idx):
+    return jnp.sum(jnp.where(cell == idx, plane, 0), -1, keepdims=True)
+
+  def item(j):
+    return jnp.sum(jnp.where(lane16 == j, inv, 0), -1, keepdims=True)
 
   # Sleep state machine (objects.py:103-108): while asleep the action is
   # forced to `sleep`; on full energy the player wakes, unlocks wake_up, and
   # the original action executes.
-  full = inv[rules.ITEM_ENERGY] >= energy_max
-  wake = p.sleeping & full
-  action = jnp.where(p.sleeping & ~full, rules.A_SLEEP, action)
-  sleeping = p.sleeping & ~wake
-  ach = p.achievements.at[rules.ACH_ID['wake_up']].add(
-      jnp.where(wake, 1, 0))
+  full = item(rules.ITEM_ENERGY) >= energy_max
+  wake = sleeping & full
+  action = jnp.where(sleeping & ~full, rules.A_SLEEP, action)
+  sleeping = sleeping & ~wake
+  ach = _ach_add(ach, jnp.full(action.shape, rules.ACH_ID['wake_up'],
+                               jnp.int32), wake)
 
   # The do/place target uses the facing from *before* this tick's move
   # (objects.py:100 computes it at update start).
-  target = pos + jnp.asarray(rules.DIRS)[p.facing]
+  fdx, fdy = _dirvec(facing)
+  tx, ty = px + fdx, py + fdy
+  tin = (tx >= 0) & (tx < w) & (ty >= 0) & (ty < h)
+  t_idx = jnp.where(tin, tx * h + ty, -1)   # -1: no cell matches (OOB)
   move_dir_idx = jnp.clip(action - 1, 0, 3)
-  mtarget = pos + jnp.asarray(rules.DIRS)[move_dir_idx]
-  oh_p = _onehot(pos, w, h)
-  oh_t = _onehot(target, w, h)
-  oh_mt = _onehot(mtarget, w, h)
-  tmat = _read(M, oh_t)          # 0 = out of bounds (MAT_NONE)
-  mtmat = _read(M, oh_mt)
-  heremat = _read(M, oh_p)
-  ttype = _read(T, oh_t)
-  thp = _read(Hp, oh_t)
-  taux = _read(A, oh_t)
+  mdx, mdy = _dirvec(move_dir_idx)
+  mx, my = px + mdx, py + mdy
+  min_ = (mx >= 0) & (mx < w) & (my >= 0) & (my < h)
+  m_idx = jnp.where(min_, mx * h + my, -1)
+  p_idx = px * h + py
+  tmat = read_at(M, t_idx)       # 0 = out of bounds (MAT_NONE)
+  mtmat = read_at(M, m_idx)
+  heremat = read_at(M, p_idx)
+  ttype = read_at(T, t_idx)
+  thp = read_at(Hp, t_idx)
+  taux = read_at(A, t_idx)
   t_occupied = ttype > 0
-  mt_occupied = _read(T, oh_mt) > 0
+  mt_occupied = read_at(T, m_idx) > 0
 
   is_move = (1 <= action) & (action <= 4)
   is_do = action == rules.A_DO
@@ -328,141 +399,196 @@ def _player_phase(state: State, action: jax.Array, seed: jax.Array,
   is_make = (11 <= action) & (action <= 16)
 
   # --- move (objects.py:174-179): facing set even when blocked. ----------
-  facing = jnp.where(is_move, move_dir_idx, p.facing)
-  can_move = (is_move & _inside_scalar(mtarget, cfg.area)
-              & _tread(t.walkable_player, mtmat) & ~mt_occupied)
-  new_pos = jnp.where(can_move, mtarget, pos)
-  T = jnp.where(oh_p & can_move, 0, T)
-  T = jnp.where(_onehot(new_pos, w, h) & can_move, rules.E_PLAYER, T)
+  facing = jnp.where(is_move, move_dir_idx, facing)
+  can_move = is_move & min_ & _mat_in(mtmat, t.walkable_player) & ~mt_occupied
+  new_px = jnp.where(can_move, mx, px)
+  new_py = jnp.where(can_move, my, py)
+  new_idx = jnp.where(can_move, m_idx, p_idx)
+  T = jnp.where((cell == p_idx) & can_move, 0, T)
+  T = jnp.where((cell == new_idx) & can_move, rules.E_PLAYER, T)
   # Standing on lava after the move attempt is instant death
   # (objects.py:178-179) — checked at the post-move cell either way.
   on_lava = is_move & (jnp.where(can_move, mtmat, heremat)
                        == rules.MAT_LAVA)
-  inv = inv.at[rules.ITEM_HEALTH].set(
-      jnp.where(on_lava, 0, inv[rules.ITEM_HEALTH]))
+  inv = jnp.where((lane16 == rules.ITEM_HEALTH) & on_lava, 0, inv)
 
   # --- do on an entity (objects.py:181-213). -----------------------------
   do_obj = is_do & t_occupied
-  damage = jnp.max(jnp.stack([
-      jnp.int32(1),
-      jnp.where(inv[rules.ITEM_ID['wood_sword']] > 0, 2, 0),
-      jnp.where(inv[rules.ITEM_ID['stone_sword']] > 0, 3, 0),
-      jnp.where(inv[rules.ITEM_ID['iron_sword']] > 0, 5, 0)]))
+  damage = jnp.maximum(jnp.maximum(
+      jnp.full(action.shape, 1, jnp.int32),
+      jnp.where(item(rules.ITEM_ID['wood_sword']) > 0, 2, 0)), jnp.maximum(
+      jnp.where(item(rules.ITEM_ID['stone_sword']) > 0, 3, 0),
+      jnp.where(item(rules.ITEM_ID['iron_sword']) > 0, 5, 0)))
   # Ripe plant: eat, reset growth, +4 food (objects.py:188-192).
   eat_plant = do_obj & (ttype == rules.E_PLANT) & (taux > 300)
-  A = jnp.where(oh_t & eat_plant, 0, A)
+  A = jnp.where((cell == t_idx) & eat_plant, 0, A)
   # Mobs take damage; health floors at 0 (objects.py:28-30 setter).
   hit_mob = do_obj & ((ttype == rules.E_ZOMBIE) | (ttype == rules.E_SKELETON)
                       | (ttype == rules.E_COW))
   hp_after = jnp.maximum(0, thp - damage)
-  Hp = jnp.where(oh_t & hit_mob, hp_after, Hp)
+  Hp = jnp.where((cell == t_idx) & hit_mob, hp_after, Hp)
   killed = hit_mob & (hp_after <= 0)
   eat_cow = killed & (ttype == rules.E_COW)
   food_gain = jnp.where(eat_plant, 4, 0) + jnp.where(eat_cow, 6, 0)
-  inv = inv.at[rules.ITEM_FOOD].add(food_gain)
-  ach = ach.at[rules.ACH_ID['eat_plant']].add(jnp.where(eat_plant, 1, 0))
-  ach = ach.at[rules.ACH_ID['eat_cow']].add(jnp.where(eat_cow, 1, 0))
-  ach = ach.at[rules.ACH_ID['defeat_zombie']].add(
-      jnp.where(killed & (ttype == rules.E_ZOMBIE), 1, 0))
-  ach = ach.at[rules.ACH_ID['defeat_skeleton']].add(
-      jnp.where(killed & (ttype == rules.E_SKELETON), 1, 0))
+  inv = jnp.where(lane16 == rules.ITEM_FOOD, inv + food_gain, inv)
+  ach = _ach_add(ach, jnp.full(action.shape, rules.ACH_ID['eat_plant'],
+                               jnp.int32), eat_plant)
+  ach = _ach_add(ach, jnp.full(action.shape, rules.ACH_ID['eat_cow'],
+                               jnp.int32), eat_cow)
+  ach = _ach_add(ach, jnp.full(action.shape, rules.ACH_ID['defeat_zombie'],
+                               jnp.int32), killed & (ttype == rules.E_ZOMBIE))
+  ach = _ach_add(ach, jnp.full(action.shape, rules.ACH_ID['defeat_skeleton'],
+                               jnp.int32),
+                 killed & (ttype == rules.E_SKELETON))
 
   # --- do on a material (objects.py:214-229). ----------------------------
   do_mat = is_do & ~t_occupied
   drink_water = do_mat & (tmat == rules.MAT_WATER)
-  can_collect = (do_mat & _tread(t.collectible, tmat)
-                 & jnp.all(inv >= _tread(t.collect_require, tmat)))
+  can_collect = (do_mat & _mat_in(tmat, t.collectible)
+                 & _req_ok(tmat, inv, t.collect_require))
   # Leaves are applied before the probability draw (objects.py:225-226).
-  M = jnp.where(oh_t & can_collect, _tread(t.collect_leaves, tmat), M)
-  prob = jnp.sum(jnp.where(tmat == jnp.arange(rules.N_MATERIALS),
-                           jnp.asarray(t.collect_prob), 0.0))
+  M = jnp.where((cell == t_idx) & can_collect,
+                _t1(tmat, t.collect_leaves), M)
+  prob = _t1f(tmat, t.collect_prob)
   got = _seed_uniform(seed) <= prob
   receive = can_collect & got
-  inv = inv + jnp.where(receive, _tread(t.collect_receive, tmat), 0)
-  cach = _tread(t.collect_ach, tmat)
-  ach = ach.at[jnp.where(receive & (cach >= 0), cach,
-                         rules.N_ACHIEVEMENTS)].add(1, mode='drop')
+  inv = _row_add(tmat, receive, inv, t.collect_receive)
+  cach = _t1(tmat, t.collect_ach, default=-1)
+  ach = _ach_add(ach, cach, receive & (cach >= 0))
 
   # --- sleep (objects.py:117-119). ---------------------------------------
-  sleeping = sleeping | (is_sleep & (inv[rules.ITEM_ENERGY] < energy_max))
+  sleeping = sleeping | (is_sleep & (item(rules.ITEM_ENERGY) < energy_max))
 
   # --- place (objects.py:231-249). ---------------------------------------
   pidx = jnp.clip(action - 7, 0, 3)
-  place_ok = (is_place & ~t_occupied
-              & _tread(jnp.asarray(t.place_where)[pidx], tmat)
-              & jnp.all(inv >= jnp.asarray(t.place_uses)[pidx]))
-  inv = inv - jnp.where(place_ok, jnp.asarray(t.place_uses)[pidx], 0)
-  place_mat = place_ok & jnp.asarray(t.place_is_material)[pidx]
-  M = jnp.where(oh_t & place_mat, jnp.asarray(t.place_material)[pidx], M)
-  plant_spawn = place_ok & ~jnp.asarray(t.place_is_material)[pidx]
-  ach = ach.at[jnp.where(place_ok, jnp.asarray(t.place_ach)[pidx],
-                         rules.N_ACHIEVEMENTS)].add(1, mode='drop')
+  pw = np.asarray(t.place_where)
+  where_ok = jnp.zeros(action.shape, bool)
+  for r, m in zip(*np.nonzero(pw)):
+    where_ok = where_ok | ((pidx == int(r)) & (tmat == int(m)))
+  place_ok = (is_place & ~t_occupied & where_ok
+              & _req_ok(pidx, inv, t.place_uses))
+  inv = _row_add(pidx, place_ok, inv, t.place_uses, sign=-1)
+  is_mat_tab = np.asarray(t.place_is_material)
+  pick_mat = jnp.zeros(action.shape, bool)
+  for r in np.flatnonzero(is_mat_tab):
+    pick_mat = pick_mat | (pidx == int(r))
+  place_mat = place_ok & pick_mat
+  M = jnp.where((cell == t_idx) & place_mat,
+                _t1(pidx, t.place_material), M)
+  plant_spawn = place_ok & ~pick_mat
+  ach = _ach_add(ach, _t1(pidx, t.place_ach, default=-1), place_ok)
 
   # --- make (objects.py:251-261): 3x3 nearby window with the numpy
   # empty-slice quirk at the x==0 / y==0 edges (engine.py:95-103).
   midx = jnp.clip(action - 11, 0, 5)
-  x, y = _iota2(w, h)
-  window = ((jnp.abs(x - pos[0]) <= 1) & (jnp.abs(y - pos[1]) <= 1)
-            & (pos[0] >= 1) & (pos[1] >= 1))
-  nearby = jnp.any(
-      window[None] & (M[None] == jnp.arange(rules.N_MATERIALS)[:, None, None]),
-      (1, 2))
-  make_ok = (is_make
-             & jnp.all(nearby | ~jnp.asarray(t.make_nearby)[midx])
-             & jnp.all(inv >= jnp.asarray(t.make_uses)[midx]))
-  inv = inv - jnp.where(make_ok, jnp.asarray(t.make_uses)[midx], 0)
-  inv = inv.at[jnp.asarray(t.make_gives_item)[midx]].add(
-      jnp.where(make_ok, jnp.asarray(t.make_gives_count)[midx], 0))
-  ach = ach.at[jnp.where(make_ok, jnp.asarray(t.make_ach)[midx],
-                         rules.N_ACHIEVEMENTS)].add(1, mode='drop')
+  x = cell // h
+  y = cell - x * h
+  window = ((jnp.abs(x - px) <= 1) & (jnp.abs(y - py) <= 1)
+            & (px >= 1) & (py >= 1))
+  # Only materials some recipe actually requires nearby matter (the rows of
+  # make_nearby are zero elsewhere, so `nearby | ~make_nearby[midx]` is
+  # vacuously true for every other material).
+  mn = np.asarray(t.make_nearby)
+  near = {}
+  for m in np.flatnonzero(mn.any(0)):
+    near[int(m)] = jnp.sum(
+        jnp.where(window & (M == int(m)), 1, 0), -1, keepdims=True) > 0
+  nearby_ok = jnp.zeros(action.shape, bool)
+  for r in range(mn.shape[0]):
+    row_ok = jnp.ones(action.shape, bool)
+    for m in np.flatnonzero(mn[r]):
+      row_ok = row_ok & near[int(m)]
+    nearby_ok = nearby_ok | ((midx == int(r)) & row_ok)
+  make_ok = is_make & nearby_ok & _req_ok(midx, inv, t.make_uses)
+  inv = _row_add(midx, make_ok, inv, t.make_uses, sign=-1)
+  gives = np.stack([np.asarray(t.make_gives_item),
+                    np.asarray(t.make_gives_count)], -1)
+  for r in range(gives.shape[0]):
+    j, cnt = int(gives[r, 0]), int(gives[r, 1])
+    inv = jnp.where(make_ok & (midx == r) & (lane16 == j), inv + cnt, inv)
+  ach = _ach_add(ach, _t1(midx, t.make_ach, default=-1), make_ok)
 
   # --- life stats, in half units (objects.py:133-151). -------------------
-  hunger = jnp.where(eat_cow, 0, p.hunger)        # objects.py:212
-  thirst = jnp.where(drink_water, 0, p.thirst)    # objects.py:218
+  hunger = jnp.where(eat_cow, 0, hunger)          # objects.py:212
+  thirst = jnp.where(drink_water, 0, thirst)      # objects.py:218
   hunger = hunger + jnp.where(sleeping, 1, 2)
   food_tick = hunger > 50
   hunger = jnp.where(food_tick, 0, hunger)
-  inv = inv.at[rules.ITEM_FOOD].add(jnp.where(food_tick, -1, 0))
+  inv = jnp.where((lane16 == rules.ITEM_FOOD) & food_tick, inv - 1, inv)
   thirst = thirst + jnp.where(sleeping, 1, 2)
   drink_tick = thirst > 40
   thirst = jnp.where(drink_tick, 0, thirst)
-  inv = inv.at[rules.ITEM_DRINK].add(jnp.where(drink_tick, -1, 0))
-  fatigue = jnp.where(sleeping, jnp.minimum(p.fatigue - 2, 0), p.fatigue + 2)
+  inv = jnp.where((lane16 == rules.ITEM_DRINK) & drink_tick, inv - 1, inv)
+  fatigue = jnp.where(sleeping, jnp.minimum(fatigue - 2, 0), fatigue + 2)
   gain_e = fatigue < -20
   lose_e = fatigue > 60
   fatigue = jnp.where(gain_e | lose_e, 0, fatigue)
-  inv = inv.at[rules.ITEM_ENERGY].add(
-      jnp.where(gain_e, 1, 0) + jnp.where(lose_e, -1, 0))
+  inv = jnp.where(lane16 == rules.ITEM_ENERGY,
+                  inv + jnp.where(gain_e, 1, 0) + jnp.where(lose_e, -1, 0),
+                  inv)
 
   # --- health regen/degen (objects.py:153-167). --------------------------
-  necessities = ((inv[rules.ITEM_FOOD] > 0) & (inv[rules.ITEM_DRINK] > 0)
-                 & ((inv[rules.ITEM_ENERGY] > 0) | sleeping))
-  recover = p.recover + jnp.where(
+  necessities = ((item(rules.ITEM_FOOD) > 0) & (item(rules.ITEM_DRINK) > 0)
+                 & ((item(rules.ITEM_ENERGY) > 0) | sleeping))
+  recover = recover + jnp.where(
       necessities, jnp.where(sleeping, 4, 2), jnp.where(sleeping, -1, -2))
   regen = recover > 50
   degen = recover < -30
   recover = jnp.where(regen | degen, 0, recover)
-  hp = jnp.maximum(0, inv[rules.ITEM_HEALTH]
+  hp = jnp.maximum(0, item(rules.ITEM_HEALTH)
                    + jnp.where(regen, 1, 0) + jnp.where(degen, -1, 0))
-  inv = inv.at[rules.ITEM_HEALTH].set(hp)
+  inv = jnp.where(lane16 == rules.ITEM_HEALTH, hp, inv)
 
   # --- clamp, then wake on hurt (objects.py:126-131, :169-172). ----------
-  inv = jnp.clip(inv, 0, jnp.asarray(t.item_max))
-  hp = inv[rules.ITEM_HEALTH]
-  sleeping = sleeping & ~(hp < p.last_health)
+  mx_tab = np.asarray(t.item_max)
+  imax = jnp.full(inv.shape, int(mx_tab[0]), jnp.int32)
+  for j in range(len(mx_tab)):
+    if mx_tab[j] != mx_tab[0]:
+      imax = jnp.where(lane16 == j, int(mx_tab[j]), imax)
+  inv = jnp.clip(inv, 0, imax)
+  hp = jnp.sum(jnp.where(lane16 == rules.ITEM_HEALTH, inv, 0), -1,
+               keepdims=True)
+  sleeping = sleeping & ~(hp < last_health)
 
+  plant_idx = jnp.where(plant_spawn, t_idx, -1)
+  return (M, T, Hp, A, new_px, new_py, facing, sleeping, hunger, thirst,
+          fatigue, recover, hp, inv, ach, plant_idx)
+
+
+def _player_phase(state: State, action: jax.Array, seed: jax.Array,
+                  cfg: EnvConfig):
+  """jnp backend: one env, flat (C,) planes through `_player_core`."""
+  w, h = cfg.area
+  c = w * h
+  cell = jnp.arange(c, dtype=jnp.int32)
+  flat = lambda m: m.reshape(c).astype(jnp.int32)
+  col = lambda v: jnp.asarray(v, jnp.int32).reshape(1)
+  p = state.player
+  (M, T, Hp, A, px, py, facing, sleeping, hunger, thirst, fatigue, recover,
+   last_health, inv, ach, plant_idx) = _player_core(
+      cell, flat(state.mat_map), flat(state.ent.etype),
+      flat(state.ent.health), flat(state.ent.aux),
+      col(action), col(p.facing), col(p.pos[0]), col(p.pos[1]),
+      p.sleeping.reshape(1), col(p.hunger), col(p.thirst), col(p.fatigue),
+      col(p.recover), col(p.last_health), p.inventory, p.achievements,
+      col(seed), cfg)
+  grid = lambda pl, ref: pl.reshape(w, h).astype(ref.dtype)
   player = Player(
-      pos=new_pos, facing=facing, inventory=inv, achievements=ach,
-      sleeping=sleeping, hunger=hunger, thirst=thirst, fatigue=fatigue,
-      recover=recover, last_health=hp)
+      pos=jnp.concatenate([px, py]), facing=facing[0], inventory=inv,
+      achievements=ach, sleeping=sleeping[0], hunger=hunger[0],
+      thirst=thirst[0], fatigue=fatigue[0], recover=recover[0],
+      last_health=last_health[0])
   state = state.replace(
-      mat_map=M.astype(state.mat_map.dtype),
-      ent=state.ent.replace(etype=T.astype(state.ent.etype.dtype),
-                            health=Hp.astype(state.ent.health.dtype),
-                            aux=A.astype(state.ent.aux.dtype)),
+      mat_map=grid(M, state.mat_map),
+      ent=state.ent.replace(etype=grid(T, state.ent.etype),
+                            health=grid(Hp, state.ent.health),
+                            aux=grid(A, state.ent.aux)),
       player=player)
-  return state, plant_spawn, jnp.where(plant_spawn, target,
-                                       jnp.full((2,), -1, jnp.int32))
+  plant_spawn = plant_idx[0] >= 0
+  plant_pos = jnp.where(
+      plant_spawn, jnp.stack([plant_idx[0] // h, plant_idx[0] % h]),
+      jnp.full((2,), -1, jnp.int32))
+  return state, plant_spawn, plant_pos
 
 
 # ---------------------------------------------------------------------------
@@ -807,23 +933,28 @@ def _mob_phase(state: State, seed: jax.Array, cfg: EnvConfig,
 def _chunk_reduce(grid: jax.Array, cfg: EnvConfig, fill, op) -> jax.Array:
   """Per-chunk reduction (W, H) -> (ncx, ncy) without any transpose.
 
-  The (ncx, csx, ncy, csy) reshape of the padded grid is a free row-major
-  split; reducing axes (1, 3) directly avoids the Mosaic relayout a
-  (n_chunks, chunk_cells) view would cost on every balance tick.
+  Two stages, each keeping the minor (lane) dimension at full width: rows
+  first ((ncx*csx, H) -> (ncx, H), minor dim H), then columns on the tiny
+  remainder.  A single (ncx, csx, ncy, csy) view would make every
+  intermediate 12 lanes wide — a ~10x vector-unit waste per op that
+  dominated the phase.
   """
   (csx, csy), (ncx, ncy) = cfg.chunk_size, cfg.n_chunks
-  pad = jnp.full((ncx * csx, ncy * csy), fill, grid.dtype)
-  pad = pad.at[:grid.shape[0], :grid.shape[1]].set(grid)
-  return op(pad.reshape(ncx, csx, ncy, csy), axis=(1, 3))
+  w, h = grid.shape
+  rows = jnp.full((ncx * csx, h), fill, grid.dtype).at[:w].set(grid)
+  rows = op(rows.reshape(ncx, csx, h), axis=1)           # (ncx, h)
+  cols = jnp.full((ncx, ncy * csy), fill, grid.dtype).at[:, :h].set(rows)
+  return op(cols.reshape(ncx, ncy, csy), axis=2)         # (ncx, ncy)
 
 
 def _chunk_broadcast(vals: jax.Array, cfg: EnvConfig) -> jax.Array:
-  """(ncx, ncy) per-chunk values -> (W, H) plane."""
+  """(ncx, ncy) per-chunk values -> (W, H) plane (two stages, wide minor)."""
   (csx, csy), (ncx, ncy) = cfg.chunk_size, cfg.n_chunks
   w, h = cfg.area
-  full = jnp.broadcast_to(vals[:, None, :, None],
-                          (ncx, csx, ncy, csy)).reshape(ncx * csx, ncy * csy)
-  return full[:w, :h]
+  cols = jnp.broadcast_to(vals[:, :, None],
+                          (ncx, ncy, csy)).reshape(ncx, ncy * csy)[:, :h]
+  return jnp.broadcast_to(cols[:, None, :],
+                          (ncx, csx, h)).reshape(ncx * csx, h)[:w]
 
 
 def _balance_phase(state: State, seed: jax.Array, cfg: EnvConfig):
@@ -969,13 +1100,125 @@ def step_batch(states: State, actions: jax.Array,
   step_ = states.step + 1
   s_player, s_mob, s_balance = jax.vmap(_tick_seeds)(states.key, step_)
   states = states.replace(step=step_)
-  states, plant_spawn, plant_pos = jax.vmap(
-      lambda s, a, k: _player_phase(s, a, k, cfg))(
-          states, actions, s_player)
-  states = _mob_phase_pallas(states, s_mob, cfg, plant_spawn,
-                             plant_pos)
+  states = _tick_pallas(states, actions, s_player, s_mob, cfg)
   return jax.vmap(lambda s, k: _finish_tick(s, k, cfg, balance))(
       states, s_balance)
+
+
+def _tick_pallas(states: State, actions, s_player, s_mob,
+                 cfg: EnvConfig, block: int = 32) -> State:
+  """Player phase + mob phase as ONE fused Pallas kernel, gridded over envs.
+
+  The XLA path materializes ~100 (N, C) intermediate planes to HBM per
+  tick (plus layout copies at every phase boundary); here every
+  intermediate lives in VMEM and HBM sees exactly one read and one write
+  of the five narrow channel planes per env.  The kernel body runs the
+  same `_player_core` + `_mob_core` traces as the jnp path, so results are
+  bit-identical (tests/test_step.py::test_pallas_engine_matches_jnp).
+  """
+  from jax.experimental import pallas as pl
+  from jax.experimental.pallas import tpu as pltpu
+
+  w, h = cfg.area
+  c = w * h
+  n = actions.shape[0]
+  p = states.player
+  flatp = lambda m: m.reshape(m.shape[:-2] + (c,))
+  col = lambda s: jnp.asarray(s).astype(jnp.int32).reshape(-1, 1)
+  ins = [flatp(states.mat_map), flatp(states.ent.etype),
+         flatp(states.ent.health), flatp(states.ent.aux),
+         flatp(states.ent.facing),
+         col(actions), col(p.facing), col(p.pos[..., 0]),
+         col(p.pos[..., 1]), col(p.sleeping), col(p.hunger), col(p.thirst),
+         col(p.fatigue), col(p.recover), col(p.last_health),
+         col(s_player), col(s_mob),
+         p.inventory.astype(jnp.int32), p.achievements.astype(jnp.int32)]
+  pad = (-n) % block
+  if pad:
+    ins = [jnp.concatenate(
+        [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]) for a in ins]
+  np_ = n + pad
+
+  def kernel(m_ref, t_ref, h_ref, a_ref, f_ref, act_ref, fac_ref, px_ref,
+             py_ref, sl_ref, hu_ref, th_ref, fa_ref, re_ref, lh_ref,
+             sp_ref, sm_ref, inv_ref, ach_ref,
+             om, ot, oh, oa, of_, opx, opy, ofac, osl, ohu, oth, ofa, ore,
+             olh, oinv, oach):
+    cell = jax.lax.broadcasted_iota(jnp.int32, (block, c), 1)
+    i32 = lambda r: r[...].astype(jnp.int32)
+    (M, T, Hp, A, px2, py2, fac2, slp2, hu2, th2, fa2, re2, lh2, inv2,
+     ach2, plant_idx) = _player_core(
+        cell, i32(m_ref), i32(t_ref), i32(h_ref), i32(a_ref),
+        act_ref[...], fac_ref[...], px_ref[...], py_ref[...],
+        sl_ref[...] != 0, hu_ref[...], th_ref[...], fa_ref[...],
+        re_ref[...], lh_ref[...], inv_ref[...], ach_ref[...],
+        sp_ref[...], cfg)
+    Mo, To, Ho, Ao, Fo, dmg = _mob_core(
+        cell, M, T, Hp, A, i32(f_ref), px2, py2, slp2, sm_ref[...],
+        plant_idx, cfg)
+    # Mob damage lands on the player's health channel (objects.py:302-312);
+    # the jnp path applies the identical update in `_mob_finish`.
+    lane16 = _lane_iota(rules.N_ITEMS, inv2)
+    inv2 = jnp.where(lane16 == rules.ITEM_HEALTH,
+                     jnp.maximum(0, inv2 - dmg), inv2)
+    om[...] = Mo.astype(om.dtype)
+    ot[...] = To.astype(ot.dtype)
+    oh[...] = Ho.astype(oh.dtype)
+    oa[...] = Ao.astype(oa.dtype)
+    of_[...] = Fo.astype(of_.dtype)
+    opx[...] = px2
+    opy[...] = py2
+    ofac[...] = fac2
+    osl[...] = slp2.astype(jnp.int32)
+    ohu[...] = hu2
+    oth[...] = th2
+    ofa[...] = fa2
+    ore[...] = re2
+    olh[...] = lh2
+    oinv[...] = inv2
+    oach[...] = ach2
+
+  plane = lambda dt: jax.ShapeDtypeStruct((np_, c), dt)
+  colsd = jax.ShapeDtypeStruct((np_, 1), jnp.int32)
+  spec = lambda width: pl.BlockSpec((block, width), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)
+  outs = pl.pallas_call(
+      kernel,
+      grid=(np_ // block,),
+      in_specs=[spec(c)] * 5 + [spec(1)] * 12 + [spec(rules.N_ITEMS),
+                                                 spec(rules.N_ACHIEVEMENTS)],
+      out_specs=[spec(c)] * 5 + [spec(1)] * 9 + [spec(rules.N_ITEMS),
+                                                 spec(rules.N_ACHIEVEMENTS)],
+      out_shape=([plane(states.mat_map.dtype), plane(states.ent.etype.dtype),
+                  plane(states.ent.health.dtype), plane(states.ent.aux.dtype),
+                  plane(states.ent.facing.dtype)]
+                 + [colsd] * 9
+                 + [jax.ShapeDtypeStruct((np_, rules.N_ITEMS), jnp.int32),
+                    jax.ShapeDtypeStruct((np_, rules.N_ACHIEVEMENTS),
+                                         jnp.int32)]),
+      # ~100 live (block, C) int32 planes peak well under the v5e's 128 MB
+      # of VMEM at block=32; the default scoped limit is only 16 MB.
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=100 * 1024 * 1024),
+      interpret=jax.default_backend() != 'tpu',  # CPU: test/debug mode
+  )(*ins)
+  outs = [o[:n] for o in outs]
+  (Mo, To, Ho, Ao, Fo, px2, py2, fac2, slp2, hu2, th2, fa2, re2, lh2,
+   inv2, ach2) = outs
+  grid = lambda pl_, ref: pl_.reshape(pl_.shape[:-1] + (w, h)).astype(
+      ref.dtype)
+  player = Player(
+      pos=jnp.concatenate([px2, py2], -1), facing=fac2[:, 0],
+      inventory=inv2, achievements=ach2, sleeping=slp2[:, 0] != 0,
+      hunger=hu2[:, 0], thirst=th2[:, 0], fatigue=fa2[:, 0],
+      recover=re2[:, 0], last_health=lh2[:, 0])
+  return states.replace(
+      mat_map=grid(Mo, states.mat_map),
+      ent=EntMaps(etype=grid(To, states.ent.etype),
+                  health=grid(Ho, states.ent.health),
+                  aux=grid(Ao, states.ent.aux),
+                  facing=grid(Fo, states.ent.facing)),
+      player=player)
 
 
 def _mob_phase_pallas(states: State, seeds, cfg: EnvConfig,
