@@ -206,6 +206,71 @@ def noise3_fast(points: jax.Array, seed: jax.Array) -> jax.Array:
   return (total / NORM_3D).reshape(shape)
 
 
+STRETCH_2D = float((1.0 / np.sqrt(3.0) - 1.0) / 2.0)
+SQUISH_2D = float((np.sqrt(3.0) - 1.0) / 2.0)
+# The original 2-D normalizer is 47; 55 rescales the field so its standard
+# deviation matches the 3-D field's on 64x64 worldgen grids (ratio 0.854
+# +-0.008 across all 13 channel scales, measured over 40 worlds/channel) —
+# the material thresholds were tuned by the reference against 3-D noise.
+NORM_2D = 55.0
+
+# All 2-D lattice offsets that can ever have positive attenuation, by the
+# same exhaustive sweep as CANDIDATES (tests/test_noise.py).
+CANDIDATES_2D = np.array([
+    (-1, 1), (0, 0), (0, 1), (0, 2), (1, -1), (1, 0), (1, 1), (2, 0),
+], np.int32)  # (8, 2)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def noise2_fast(points: jax.Array, seed: jax.Array) -> jax.Array:
+  """2-D OpenSimplex-structured noise with an arithmetic gradient hash.
+
+  Every worldgen channel evaluates the reference's 3-D noise at a *constant
+  integer z* (crafter/worldgen.py:79-91 — z only selects the feature), so
+  the fast path can fold z into the seed and run the 2-D lattice instead:
+  8 candidate vertices instead of 26 and one fewer coordinate everywhere,
+  ~4x fewer operations per point for a field with the same spectral
+  character at the same feature scales.  Like `noise3_fast` this is the
+  distribution-level path (validated against the live reference engine in
+  tests/test_reference_parity.py); seed-exact parity mode keeps the real
+  permutation-table OpenSimplex (crafter_tpu/parity.py).
+
+  `points` is (..., 2) float32; `seed` is int32, broadcastable against the
+  leading point dims (pass per-channel seeds to fold the z axis in).
+  """
+  pts = points.astype(jnp.float32)
+  shape = pts.shape[:-1]
+  seed = jnp.broadcast_to(jnp.asarray(seed, jnp.int32), shape).reshape(-1)
+  pts = pts.reshape(-1, 2)
+
+  stretch = pts.sum(-1, keepdims=True) * STRETCH_2D
+  base = jnp.floor(pts + stretch + 2 ** -13).astype(jnp.int32)
+  px, py = pts[:, 0], pts[:, 1]
+  xb, yb = base[:, 0], base[:, 1]
+
+  total = jnp.zeros(pts.shape[:1], jnp.float32)
+  for cx, cy in CANDIDATES_2D.tolist():
+    vx, vy = xb + cx, yb + cy
+    squish = (vx + vy).astype(jnp.float32) * SQUISH_2D
+    dx = px - (vx.astype(jnp.float32) + squish)
+    dy = py - (vy.astype(jnp.float32) + squish)
+    attn = jnp.maximum(2.0 - dx * dx - dy * dy, 0.0)
+    attn2 = attn * attn
+    # xxhash-style avalanche over (vertex, seed) -> gradient id in [0, 8).
+    h = (vx * jnp.int32(-1918454973) ^ vy * jnp.int32(-668077119) ^ seed)
+    h = h * jnp.int32(0x27d4eb2f)
+    h = h ^ (h >> 15)
+    # The 8 gradients are (+-5, +-2) / (+-2, +-5) (the original
+    # `gradients2D`): bit 0 picks the long axis, bits 1-2 the signs.
+    s0 = 1 - 2 * (h & 1)
+    s1 = 1 - 2 * ((h >> 1) & 1)
+    long_x = (h >> 2) & 1
+    gx = jnp.where(long_x == 1, 5, 2) * s0
+    gy = jnp.where(long_x == 1, 2, 5) * s1
+    total += attn2 * attn2 * (gx * dx + gy * dy)
+  return (total / NORM_2D).reshape(shape)
+
+
 def octaved_noise3(xy: jax.Array, z: float, sizes: dict[float, float],
                    perm: jax.Array, normalize: bool = True) -> jax.Array:
   """The reference's `_simplex` octave helper (worldgen.py:79-91).

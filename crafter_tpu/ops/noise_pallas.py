@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from .noise import CANDIDATES, NORM_3D, SQUISH_3D, STRETCH_3D
+from .noise import (CANDIDATES, CANDIDATES_2D, NORM_2D, NORM_3D, SQUISH_2D,
+                    SQUISH_3D, STRETCH_2D, STRETCH_3D)
 
 _LANES = 128
 _SUBLANES = 256  # block = (256, 128) -> 32k points per program
@@ -63,6 +64,71 @@ def _noise_kernel(px_ref, py_ref, pz_ref, seed_ref, o_ref):
     gz = jnp.where(axis == 2, 11.0, 4.0) * s2
     total = total + attn2 * attn2 * (gx * dx + gy * dy + gz * dz)
   o_ref[...] = total / NORM_3D
+
+
+def _noise2_kernel(px_ref, py_ref, seed_ref, o_ref):
+  px = px_ref[...]
+  py = py_ref[...]
+  seed = seed_ref[...].astype(jnp.int32)
+
+  stretch = (px + py) * STRETCH_2D
+  nudge = 2.0 ** -13
+  xb = jnp.floor(px + stretch + nudge).astype(jnp.int32)
+  yb = jnp.floor(py + stretch + nudge).astype(jnp.int32)
+
+  total = jnp.zeros_like(px)
+  for cx, cy in CANDIDATES_2D.tolist():
+    vx, vy = xb + cx, yb + cy
+    squish = (vx + vy).astype(jnp.float32) * SQUISH_2D
+    dx = px - (vx.astype(jnp.float32) + squish)
+    dy = py - (vy.astype(jnp.float32) + squish)
+    attn = jnp.maximum(2.0 - dx * dx - dy * dy, 0.0)
+    attn2 = attn * attn
+    h = (vx * jnp.int32(-1918454973) ^ vy * jnp.int32(-668077119) ^ seed)
+    h = h * jnp.int32(0x27d4eb2f)
+    h = h ^ (h >> 15)
+    s0 = (1 - 2 * (h & 1)).astype(jnp.float32)
+    s1 = (1 - 2 * ((h >> 1) & 1)).astype(jnp.float32)
+    long_x = (h >> 2) & 1
+    gx = jnp.where(long_x == 1, 5.0, 2.0) * s0
+    gy = jnp.where(long_x == 1, 2.0, 5.0) * s1
+    total = total + attn2 * attn2 * (gx * dx + gy * dy)
+  o_ref[...] = total / NORM_2D
+
+
+def noise2_pallas(points: jax.Array, seed: jax.Array,
+                  interpret: bool | None = None) -> jax.Array:
+  """Drop-in for ops/noise.py:noise2_fast, fused into one Pallas kernel.
+
+  `points` (..., 2) float32; `seed` int32, broadcastable against the
+  leading point dims (per-channel seeds fold the reference's z axis in).
+  """
+  if interpret is None:
+    interpret = jax.default_backend() != 'tpu'
+  pts = points.astype(jnp.float32)
+  shape = pts.shape[:-1]
+  seeds = jnp.broadcast_to(jnp.asarray(seed, jnp.int32), shape).reshape(-1)
+  flat = pts.reshape(-1, 2)
+  p = flat.shape[0]
+
+  block = _SUBLANES * _LANES
+  rows = max(-(-p // block), 1) * _SUBLANES
+  pad = rows * _LANES - p
+
+  def to_grid(v):
+    return jnp.pad(v, (0, pad)).reshape(rows, _LANES)
+
+  px, py = (to_grid(flat[:, i]) for i in range(2))
+  grid = rows // _SUBLANES
+  out = pl.pallas_call(
+      _noise2_kernel,
+      grid=(grid,),
+      in_specs=[pl.BlockSpec((_SUBLANES, _LANES), lambda i: (i, 0))] * 3,
+      out_specs=pl.BlockSpec((_SUBLANES, _LANES), lambda i: (i, 0)),
+      out_shape=jax.ShapeDtypeStruct((rows, _LANES), jnp.float32),
+      interpret=interpret,
+  )(px, py, to_grid(seeds))
+  return out.reshape(-1)[:p].reshape(shape)
 
 
 def noise3_pallas(points: jax.Array, seed: jax.Array,

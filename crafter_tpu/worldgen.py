@@ -39,30 +39,43 @@ def _noise_channels(xy: jax.Array, perm: jax.Array,
   x = xy[..., 0].astype(jnp.float32)
   y = xy[..., 1].astype(jnp.float32)
 
-  def p(px, py, z):
-    return jnp.stack([px, py, jnp.full_like(px, z)], -1)
-
-  points = jnp.stack([
-      p(x / 3, y / 3, 8),       # start (worldgen.py:26)
-      p(x / 15, y / 15, 3),     # water octave 15 (:28)
-      p(x / 5, y / 5, 3),       # water octave 5 (:28)
-      p(x / 15, y / 15, 0),     # mountain octave 15 (:30)
-      p(x / 5, y / 5, 0),       # mountain octave 5 (:30)
-      p(x / 7, y / 7, 6),       # caves (:35)
-      p(2 * x / 3, y / 15, 7),  # horizontal tunnels (:37)
-      p(x / 15, 2 * y / 3, 7),  # vertical tunnels (:40)
-      p(x / 8, y / 8, 1),       # coal (:43)
-      p(x / 6, y / 6, 2),       # iron (:45)
-      p(x / 5, y / 5, 6),       # lava (:49)
-      p(x / 9, y / 9, 4),       # sand (:53)
-      p(x / 7, y / 7, 5),       # trees (:58)
-  ])  # (13, W, H, 3)
-  if mode == 'fast':
-    n = noise.noise3_fast(points, perm)  # (13, W, H)
-  elif mode == 'pallas':
-    from .ops.noise_pallas import noise3_pallas
-    n = noise3_pallas(points, perm)
+  # (scaled_x, scaled_y, z) per channel; z selects the feature
+  # (crafter/worldgen.py:79-91) and is a small integer constant.
+  channels = [
+      (x / 3, y / 3, 8),       # start (worldgen.py:26)
+      (x / 15, y / 15, 3),     # water octave 15 (:28)
+      (x / 5, y / 5, 3),       # water octave 5 (:28)
+      (x / 15, y / 15, 0),     # mountain octave 15 (:30)
+      (x / 5, y / 5, 0),       # mountain octave 5 (:30)
+      (x / 7, y / 7, 6),       # caves (:35)
+      (2 * x / 3, y / 15, 7),  # horizontal tunnels (:37)
+      (x / 15, 2 * y / 3, 7),  # vertical tunnels (:40)
+      (x / 8, y / 8, 1),       # coal (:43)
+      (x / 6, y / 6, 2),       # iron (:45)
+      (x / 5, y / 5, 6),       # lava (:49)
+      (x / 9, y / 9, 4),       # sand (:53)
+      (x / 7, y / 7, 5),       # trees (:58)
+  ]
+  if mode in ('fast', 'pallas'):
+    # The distribution-level path evaluates the 2-D lattice with z folded
+    # into a per-channel seed — ~4x fewer ops than the 26-candidate 3-D
+    # superset for a field with the same spectral character (see
+    # ops/noise.py:noise2_fast).  Channels sharing (scale, z) pairs differ
+    # by z so the folded seeds keep them independent.
+    points = jnp.stack([jnp.stack([cx, cy], -1) for cx, cy, _ in channels])
+    zs = jnp.asarray([z for _, _, z in channels], jnp.int32)
+    seeds = (jnp.asarray(perm, jnp.int32)
+             + zs * jnp.int32(np.uint32(0x9E3779B9).view(np.int32)))
+    seeds = seeds.reshape((len(channels),) + (1,) * (points.ndim - 2))
+    if mode == 'pallas':
+      from .ops.noise_pallas import noise2_pallas
+      n = noise2_pallas(points, seeds)
+    else:
+      n = noise.noise2_fast(points, seeds)
   else:
+    points = jnp.stack([
+        jnp.stack([cx, cy, jnp.full_like(cx, z)], -1)
+        for cx, cy, z in channels])  # (13, W, H, 3)
     n = noise.noise3(points, perm)
   return dict(
       start=n[0],

@@ -203,3 +203,42 @@ def test_against_real_opensimplex_package():
     va = np.array([a.noise3(*p) for p in pts])
     vb = np.array([b.noise3(*p) for p in pts])
     np.testing.assert_allclose(va, vb, rtol=0, atol=1e-12)
+
+
+def test_pallas_noise2_matches_fast():
+  """The 2-D Pallas kernel runs the same arithmetic as noise2_fast."""
+  import jax
+  import jax.numpy as jnp
+  from crafter_tpu.ops import noise
+  from crafter_tpu.ops.noise_pallas import noise2_pallas
+  pts = jax.random.uniform(jax.random.key(4), (5000, 2)) * 30
+  # per-point seeds exercise the broadcastable-seed path (channel folding)
+  seeds = jnp.arange(5000, dtype=jnp.int32) % 13
+  want = np.asarray(jax.jit(noise.noise2_fast)(pts, seeds))
+  got = np.asarray(noise2_pallas(pts, seeds, interpret=True))
+  assert np.abs(got - want).max() < 1e-5
+  pts2 = pts[:333].reshape(3, 111, 2)
+  got2 = np.asarray(noise2_pallas(pts2, jnp.int32(77), interpret=True))
+  want2 = np.asarray(jax.jit(noise.noise2_fast)(pts2, jnp.int32(77)))
+  assert got2.shape == (3, 111)
+  np.testing.assert_allclose(got2, want2, atol=1e-5)
+
+
+def test_candidate_offsets_2d_complete():
+  """CANDIDATES_2D covers every offset that can have positive attenuation."""
+  from crafter_tpu.ops.noise import CANDIDATES_2D, SQUISH_2D, STRETCH_2D
+  rng = np.random.default_rng(0)
+  pts = rng.uniform(-40, 40, size=(200_000, 2))
+  stretch = pts.sum(-1, keepdims=True) * STRETCH_2D
+  base = np.floor(pts + stretch).astype(np.int64)
+  have = {tuple(c) for c in CANDIDATES_2D.tolist()}
+  for cx in range(-2, 4):
+    for cy in range(-2, 4):
+      vx = base[:, 0] + cx
+      vy = base[:, 1] + cy
+      squish = (vx + vy) * SQUISH_2D
+      dx = pts[:, 0] - (vx + squish)
+      dy = pts[:, 1] - (vy + squish)
+      contributes = (2 - dx * dx - dy * dy > 0).any()
+      if contributes:
+        assert (cx, cy) in have, (cx, cy)
