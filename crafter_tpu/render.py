@@ -209,15 +209,16 @@ def render(state: State, cfg: EnvConfig, atlas: Atlas,
             & (wpos[..., 1] >= 0) & (wpos[..., 1] < cfg.area[1]))
   cx = jnp.clip(wpos[..., 0], 0, cfg.area[0] - 1)
   cy = jnp.clip(wpos[..., 1], 0, cfg.area[1] - 1)
-  mids = jnp.where(inside, state.mat_map[cx, cy].astype(jnp.int32), GRAY_ID)
+  cc = cx * cfg.area[1] + cy                    # planes are stored flat
+  mids = jnp.where(inside, state.mat_map[cc].astype(jnp.int32), GRAY_ID)
   tiles = _table_lookup(atlas.mat, mids)                    # (gw,gh,ux,uy,3)
 
   # --- entity overlay (engine.py:176-181): entities live in the grid, so
   # the occupant's sprite id is a per-tile select over the channel windows,
   # replacing the reference's per-object blits.
-  et = jnp.where(inside, state.ent.etype[cx, cy].astype(jnp.int32), 0)
-  aux = jnp.where(inside, state.ent.aux[cx, cy].astype(jnp.int32), 0)
-  fac = jnp.where(inside, state.ent.facing[cx, cy].astype(jnp.int32), 0)
+  et = jnp.where(inside, state.ent.etype[cc].astype(jnp.int32), 0)
+  aux = jnp.where(inside, state.ent.aux[cc].astype(jnp.int32), 0)
+  fac = jnp.where(inside, state.ent.facing[cc].astype(jnp.int32), 0)
   texid_grid = jnp.where(
       et == rules.E_PLAYER,
       jnp.where(sleeping, TEX_PLAYER_SLEEP, TEX_PLAYER + state.player.facing),

@@ -56,10 +56,10 @@ class EntMaps:
   store: no slot allocation, no capacity limit, no occupancy index.
   """
 
-  etype: jax.Array   # (W, H) uint8 entity type id (rules.E_*), 0 = empty
-  health: jax.Array  # (W, H) uint8
-  aux: jax.Array     # (W, H) int16 per-type counter (see module docstring)
-  facing: jax.Array  # (W, H) uint8 direction index (arrows)
+  etype: jax.Array   # (W*H,) uint8 entity type id (rules.E_*), 0 = empty
+  health: jax.Array  # (W*H,) uint8
+  aux: jax.Array     # (W*H,) int16 per-type counter (see module docstring)
+  facing: jax.Array  # (W*H,) uint8 direction index (arrows)
 
 
 @struct.dataclass
@@ -82,7 +82,7 @@ class Player:
 class State:
   """Complete per-env simulation state (batched by vmapping every leaf)."""
 
-  mat_map: jax.Array        # (W, H) uint8 material ids
+  mat_map: jax.Array        # (W*H,) uint8 material ids, x-major flat
   ent: EntMaps
   player: Player
   step: jax.Array           # () int32
@@ -117,22 +117,26 @@ def init_player(cfg: EnvConfig) -> Player:
 def empty_ent_maps(cfg: EnvConfig) -> EntMaps:
   w, h = cfg.area
   return EntMaps(
-      etype=jnp.zeros((w, h), jnp.uint8),
-      health=jnp.zeros((w, h), jnp.uint8),
-      aux=jnp.zeros((w, h), jnp.int16),
-      facing=jnp.zeros((w, h), jnp.uint8),
+      etype=jnp.zeros((w * h,), jnp.uint8),
+      health=jnp.zeros((w * h,), jnp.uint8),
+      aux=jnp.zeros((w * h,), jnp.int16),
+      facing=jnp.zeros((w * h,), jnp.uint8),
   )
 
 
 def add_entity(state: State, etype: int, pos, health: int = 0,
-               aux: int = 0, facing: int = 0) -> State:
+               aux: int = 0, facing: int = 0,
+               cfg: EnvConfig | None = None) -> State:
   """Place one entity into the channel maps (test/tooling helper)."""
+  from .config import DEFAULT_CONFIG
+  h_dim = (cfg or DEFAULT_CONFIG).area[1]
   x, y = int(pos[0]), int(pos[1])
+  c = x * h_dim + y
   ent = state.ent.replace(
-      etype=state.ent.etype.at[x, y].set(etype),
-      health=state.ent.health.at[x, y].set(health),
-      aux=state.ent.aux.at[x, y].set(aux),
-      facing=state.ent.facing.at[x, y].set(facing))
+      etype=state.ent.etype.at[c].set(etype),
+      health=state.ent.health.at[c].set(health),
+      aux=state.ent.aux.at[c].set(aux),
+      facing=state.ent.facing.at[c].set(facing))
   if etype == rules.E_PLAYER:
     state = state.replace(
         player=state.player.replace(pos=jnp.asarray([x, y], jnp.int32)))
@@ -152,5 +156,6 @@ def semantic_view(state: State, cfg: EnvConfig) -> jax.Array:
   (env.py:47-49).  With entities living in the grid this is one select.
   """
   et = state.ent.etype.astype(jnp.int32)
-  return jnp.where(et > 0, rules.N_MATERIALS + et - 1,
+  flat = jnp.where(et > 0, rules.N_MATERIALS + et - 1,
                    state.mat_map.astype(jnp.int32))
+  return flat.reshape(flat.shape[:-1] + tuple(cfg.area))

@@ -561,7 +561,7 @@ def _player_phase(state: State, action: jax.Array, seed: jax.Array,
   w, h = cfg.area
   c = w * h
   cell = jnp.arange(c, dtype=jnp.int32)
-  flat = lambda m: m.reshape(c).astype(jnp.int32)
+  flat = lambda m: m.astype(jnp.int32)          # planes are stored flat
   col = lambda v: jnp.asarray(v, jnp.int32).reshape(1)
   p = state.player
   (M, T, Hp, A, px, py, facing, sleeping, hunger, thirst, fatigue, recover,
@@ -572,7 +572,7 @@ def _player_phase(state: State, action: jax.Array, seed: jax.Array,
       p.sleeping.reshape(1), col(p.hunger), col(p.thirst), col(p.fatigue),
       col(p.recover), col(p.last_health), p.inventory, p.achievements,
       col(seed), cfg)
-  grid = lambda pl, ref: pl.reshape(w, h).astype(ref.dtype)
+  grid = lambda pl, ref: pl.astype(ref.dtype)
   player = Player(
       pos=jnp.concatenate([px, py]), facing=facing[0], inventory=inv,
       achievements=ach, sleeping=sleeping[0], hunger=hunger[0],
@@ -665,7 +665,19 @@ def _mob_core(cell, M, T, Hp, A, F, px, py, sleeping, seed, plant_idx, cfg):
          lo(hb[2]), hi(hb[2]), lo(hb[3]))
   P16 = lambda p: jnp.int32(round(p * 65536.0))
 
-  pdist = jnp.abs(x - px) + jnp.abs(y - py)
+  # Shared subexpressions of the three `_toward` draws (zombie chase,
+  # skeleton retreat, skeleton approach): offsets, magnitudes, axis compare
+  # and signs are identical across calls — only the long_axis draw differs.
+  offx, offy = px - x, py - y
+  x_longer = jnp.abs(offx) > jnp.abs(offy)
+  sgnx = jnp.where(offx > 0, 1, jnp.where(offx < 0, -1, 0))
+  sgny = jnp.where(offy > 0, 1, jnp.where(offy < 0, -1, 0))
+
+  def toward(long_axis):
+    use_x = ((long_axis & x_longer) | (~long_axis & ~x_longer))
+    return jnp.where(use_x, sgnx, 0), jnp.where(use_x, 0, sgny)
+
+  pdist = jnp.abs(offx) + jnp.abs(offy)
   pending = cell == plant_idx   # all-False when plant_idx < 0
 
   is_cow = T == rules.E_COW
@@ -686,17 +698,17 @@ def _mob_core(cell, M, T, Hp, A, F, px, py, sleeping, seed, plant_idx, cfg):
   # Zombie: chase within dist 8 with p=0.9 (long axis p=0.8), else random
   # walk (objects.py:297-301).
   chase = (pdist <= 8) & (u16[0] < P16(0.9))
-  twx, twy = _toward(px, py, x, y, u16[1] < P16(0.8))
+  twx, twy = toward(u16[1] < P16(0.8))
   zx = jnp.where(chase, twx, rdx)
   zy = jnp.where(chase, twy, rdy)
   # Skeleton (objects.py:327-341): retreat at dist<=3; on a failed retreat
   # fall through the elif chain (shoot / approach / walk).
   retreat = pdist <= 3
-  rwx, rwy = _toward(px, py, x, y, u16[2] < P16(0.6))
+  rwx, rwy = toward(u16[2] < P16(0.6))
   c_shoot = (pdist <= 5) & (u16[3] < P16(0.5))
   c_approach = (pdist <= 8) & (u16[4] < P16(0.3))
   c_walk = u16[5] < P16(0.2)
-  awx, awy = _toward(px, py, x, y, u16[6] < P16(0.6))
+  awx, awy = toward(u16[6] < P16(0.6))
   appr = ~c_shoot & c_approach
   sox = jnp.where(appr, awx, rdx)
   soy = jnp.where(appr, awy, rdy)
@@ -810,7 +822,8 @@ def _mob_core(cell, M, T, Hp, A, F, px, py, sleeping, seed, plant_idx, cfg):
   s_moved = ((dying & retreat & feasible)
              | (~dying & retreat & success))
   shoot = active & is_skel & ~s_moved & c_shoot & (reload == 0)
-  shvx, shvy = _toward(px, py, x, y, True)
+  shvx = jnp.where(x_longer, sgnx, 0)   # toward, long axis
+  shvy = jnp.where(x_longer, 0, sgny)
 
   # --- zombie melee (objects.py:302-312): post-move adjacency, cooldown
   # counts down only while adjacent, 7 damage if the player sleeps.
@@ -887,8 +900,7 @@ def _mob_core_args(state: State, seed: jax.Array, plant_spawn, plant_pos,
   ``widen=False`` keeps the storage dtypes (the Pallas path widens inside
   the kernel so HBM only ever sees the narrow planes)."""
   w, h = cfg.area
-  flat = lambda m: (m.reshape(m.shape[:-2] + (w * h,)).astype(jnp.int32)
-                    if widen else m.reshape(m.shape[:-2] + (w * h,)))
+  flat = lambda m: m.astype(jnp.int32) if widen else m
 
   plant_idx = jnp.where(plant_spawn,
                         plant_pos[..., 0] * h + plant_pos[..., 1], -1)
@@ -900,9 +912,8 @@ def _mob_core_args(state: State, seed: jax.Array, plant_spawn, plant_pos,
 
 def _mob_finish(state: State, outs, cfg: EnvConfig) -> State:
   """Fold `_mob_core` outputs back into the state pytree (one env)."""
-  w, h = cfg.area
   M, T1, H1, A1, F1, player_dmg = outs
-  grid = lambda p, ref: p.reshape(p.shape[:-1] + (w, h)).astype(ref.dtype)
+  grid = lambda p, ref: p.astype(ref.dtype)
   player = state.player.replace(
       inventory=state.player.inventory.at[rules.ITEM_HEALTH].set(
           jnp.maximum(0, state.player.inventory[rules.ITEM_HEALTH]
@@ -970,8 +981,8 @@ def _balance_phase(state: State, seed: jax.Array, cfg: EnvConfig):
   w, h = cfg.area
   (csx, csy), (ncx, ncy) = cfg.chunk_size, cfg.n_chunks
   nch = ncx * ncy
-  M = state.mat_map.astype(jnp.int32)
-  T = state.ent.etype.astype(jnp.int32)
+  M = state.mat_map.astype(jnp.int32).reshape(w, h)
+  T = state.ent.etype.astype(jnp.int32).reshape(w, h)
   light = state_lib.daylight(state.step, cfg.day_length)
   ppos = state.player.pos
   x, y = _iota2(w, h)
@@ -1042,9 +1053,10 @@ def _apply_balance(state: State, despawn: jax.Array, spawn_masks,
   T = state.ent.etype.astype(jnp.int32)
   Hp = state.ent.health.astype(jnp.int32)
   A = state.ent.aux.astype(jnp.int32)
+  despawn = despawn.reshape(-1)
   T = jnp.where(despawn & (T > rules.E_PLAYER), 0, T)
   for i, etype in enumerate(BAL_CLASSES):
-    ok = spawn_masks[i] & (T == 0)
+    ok = spawn_masks[i].reshape(-1) & (T == 0)
     T = jnp.where(ok, etype, T)
     Hp = jnp.where(ok, TYPE_HEALTH[etype], Hp)
     A = jnp.where(ok, 0, A)
@@ -1123,11 +1135,10 @@ def _tick_pallas(states: State, actions, s_player, s_mob,
   c = w * h
   n = actions.shape[0]
   p = states.player
-  flatp = lambda m: m.reshape(m.shape[:-2] + (c,))
   col = lambda s: jnp.asarray(s).astype(jnp.int32).reshape(-1, 1)
-  ins = [flatp(states.mat_map), flatp(states.ent.etype),
-         flatp(states.ent.health), flatp(states.ent.aux),
-         flatp(states.ent.facing),
+  ins = [states.mat_map, states.ent.etype,
+         states.ent.health, states.ent.aux,
+         states.ent.facing,
          col(actions), col(p.facing), col(p.pos[..., 0]),
          col(p.pos[..., 1]), col(p.sleeping), col(p.hunger), col(p.thirst),
          col(p.fatigue), col(p.recover), col(p.last_health),
@@ -1205,8 +1216,7 @@ def _tick_pallas(states: State, actions, s_player, s_mob,
   outs = [o[:n] for o in outs]
   (Mo, To, Ho, Ao, Fo, px2, py2, fac2, slp2, hu2, th2, fa2, re2, lh2,
    inv2, ach2) = outs
-  grid = lambda pl_, ref: pl_.reshape(pl_.shape[:-1] + (w, h)).astype(
-      ref.dtype)
+  grid = lambda pl_, ref: pl_.astype(ref.dtype)
   player = Player(
       pos=jnp.concatenate([px2, py2], -1), facing=fac2[:, 0],
       inventory=inv2, achievements=ach2, sleeping=slp2[:, 0] != 0,
@@ -1316,7 +1326,7 @@ def _finish_tick(state: State, k_balance: jax.Array, cfg: EnvConfig,
   # Track chunks that held entities (the reference's defaultdict keys,
   # engine.py:36/:57/:78-79, consumed by env.py:90-95).
   touched = state.chunk_touched | _chunk_reduce(
-      state.ent.etype > 0, cfg, False, jnp.any)
+      (state.ent.etype > 0).reshape(w, h), cfg, False, jnp.any)
 
   # Reward and termination (env.py:97-107).
   hp = state.player.inventory[rules.ITEM_HEALTH]

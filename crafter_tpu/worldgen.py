@@ -168,8 +168,10 @@ def generate_world(key: jax.Array, cfg: EnvConfig) -> state_lib.State:
       jnp.where(etype == rules.E_ZOMBIE, 5,
                 jnp.where(etype == rules.E_SKELETON, 3, 0)))
   ent = state_lib.EntMaps(
-      etype=etype.astype(jnp.uint8), health=health.astype(jnp.uint8),
-      aux=jnp.zeros((w, h), jnp.int16), facing=jnp.zeros((w, h), jnp.uint8))
+      etype=etype.astype(jnp.uint8).reshape(-1),
+      health=health.astype(jnp.uint8).reshape(-1),
+      aux=jnp.zeros((w * h,), jnp.int16),
+      facing=jnp.zeros((w * h,), jnp.uint8))
 
   # Chunks that start with an object in them (engine.py:57 via defaultdict).
   (csx, csy), (ncx, ncy) = cfg.chunk_size, cfg.n_chunks
@@ -180,7 +182,7 @@ def generate_world(key: jax.Array, cfg: EnvConfig) -> state_lib.State:
 
   player = state_lib.init_player(cfg)
   return state_lib.State(
-      mat_map=mat, ent=ent, player=player,
+      mat_map=mat.reshape(-1), ent=ent, player=player,
       step=jnp.int32(0), key=jax.random.fold_in(key, 0x5eed),
       unlocked=jnp.zeros((rules.N_ACHIEVEMENTS,), bool),
       env_last_health=jnp.int32(tables.item_initial[rules.ITEM_HEALTH]),

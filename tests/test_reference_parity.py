@@ -205,10 +205,10 @@ class TestBalanceDynamics:
       return st
 
     st = run(vs.env, jax.random.key(9))
-    et = np.asarray(st.ent.etype)
-    return dict(z=(et == rules.E_ZOMBIE).sum((1, 2)).mean(),
-                c=(et == rules.E_COW).sum((1, 2)).mean(),
-                s=(et == rules.E_SKELETON).sum((1, 2)).mean())
+    et = np.asarray(st.ent.etype)        # (n, W*H) flat planes
+    return dict(z=(et == rules.E_ZOMBIE).sum(-1).mean(),
+                c=(et == rules.E_COW).sum(-1).mean(),
+                s=(et == rules.E_SKELETON).sum(-1).mean())
 
   def test_zombie_population(self, ref_pops, tpu_pops):
     # Post-night populations are dominated by balancing, high variance

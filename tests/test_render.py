@@ -40,7 +40,7 @@ def oracle_render(state, cfg, size=(64, 64), noise=None):
   unit = np.array([size[0] // cfg.view[0], size[1] // cfg.view[1]])
   offset = grid // 2
   center = np.asarray(state.player.pos)
-  mat_map = np.asarray(state.mat_map)
+  mat_map = np.asarray(state.mat_map).reshape(cfg.area)
 
   canvas = np.zeros(tuple(grid * unit) + (3,), np.uint8) + 127
   for x in range(grid[0]):
@@ -63,9 +63,9 @@ def oracle_render(state, cfg, size=(64, 64), noise=None):
     cv[x:x + w, y:y + h] = t
 
   # Entities (cell-unique: they live in the grid).
-  et = np.asarray(state.ent.etype)
-  aux = np.asarray(state.ent.aux)
-  fac = np.asarray(state.ent.facing)
+  et = np.asarray(state.ent.etype).reshape(cfg.area)
+  aux = np.asarray(state.ent.aux).reshape(cfg.area)
+  fac = np.asarray(state.ent.facing).reshape(cfg.area)
   sleeping = bool(state.player.sleeping)
   pfac = int(state.player.facing)
   dirnames = ['left', 'right', 'up', 'down']

@@ -24,7 +24,7 @@ def make_state(mat=rules.MAT_GRASS, player_pos=(32, 32), seed=0):
   """Uniform-material world with only the player."""
   w, h = CFG.area
   state = State(
-      mat_map=jnp.full((w, h), mat, jnp.uint8),
+      mat_map=jnp.full((w * h,), mat, jnp.uint8),
       ent=state_lib.empty_ent_maps(CFG),
       player=state_lib.init_player(CFG), step=jnp.int32(0),
       key=jax.random.key(seed),
@@ -35,7 +35,8 @@ def make_state(mat=rules.MAT_GRASS, player_pos=(32, 32), seed=0):
 
 
 def set_mat(state, pos, mat):
-  return state.replace(mat_map=state.mat_map.at[pos[0], pos[1]].set(mat))
+  return state.replace(
+      mat_map=state.mat_map.at[pos[0] * 64 + pos[1]].set(mat))
 
 
 def add_entity(state, etype, pos, health=1, aux=0, facing=0):
@@ -43,7 +44,7 @@ def add_entity(state, etype, pos, health=1, aux=0, facing=0):
 
 
 def etype_at(state, pos):
-  return int(state.ent.etype[pos[0], pos[1]])
+  return int(state.ent.etype[pos[0] * 64 + pos[1]])
 
 
 def set_inv(state, **items):
@@ -104,7 +105,7 @@ class TestCollect:
     st = set_mat(make_state(), (32, 33), rules.MAT_TREE)  # facing down
     s, out = run(st, A['do'])
     assert int(s.player.inventory[rules.ITEM_ID['wood']]) == 1
-    assert int(s.mat_map[32, 33]) == rules.MAT_GRASS  # leaves grass
+    assert int(s.mat_map[32 * 64 + 33]) == rules.MAT_GRASS  # leaves grass
     assert int(s.player.achievements[rules.ACH_ID['collect_wood']]) == 1
     assert float(out.reward) == pytest.approx(1.0)
 
@@ -112,11 +113,11 @@ class TestCollect:
     st = set_mat(make_state(), (32, 33), rules.MAT_STONE)
     s, _ = run(st, A['do'])
     assert int(s.player.inventory[rules.ITEM_ID['stone']]) == 0
-    assert int(s.mat_map[32, 33]) == rules.MAT_STONE
+    assert int(s.mat_map[32 * 64 + 33]) == rules.MAT_STONE
     st = set_inv(st, wood_pickaxe=1)
     s, _ = run(st, A['do'])
     assert int(s.player.inventory[rules.ITEM_ID['stone']]) == 1
-    assert int(s.mat_map[32, 33]) == rules.MAT_PATH
+    assert int(s.mat_map[32 * 64 + 33]) == rules.MAT_PATH
 
   def test_drink_water_resets_thirst(self):
     # objects.py:215-218: thirst resets even before the collect table runs.
@@ -139,7 +140,7 @@ class TestPlaceMake:
   def test_place_stone(self):
     st = set_inv(make_state(), stone=1)
     s, _ = run(st, A['place_stone'])
-    assert int(s.mat_map[32, 33]) == rules.MAT_STONE
+    assert int(s.mat_map[32 * 64 + 33]) == rules.MAT_STONE
     assert int(s.player.inventory[rules.ITEM_ID['stone']]) == 0
     assert int(s.player.achievements[rules.ACH_ID['place_stone']]) == 1
 
@@ -147,23 +148,23 @@ class TestPlaceMake:
     # data.yaml:67: stone placeable on water.
     st = set_mat(set_inv(make_state(), stone=1), (32, 33), rules.MAT_WATER)
     s, _ = run(st, A['place_stone'])
-    assert int(s.mat_map[32, 33]) == rules.MAT_STONE
+    assert int(s.mat_map[32 * 64 + 33]) == rules.MAT_STONE
 
   def test_place_table_needs_two_wood(self):
     st = set_inv(make_state(), wood=1)
     s, _ = run(st, A['place_table'])
-    assert int(s.mat_map[32, 33]) == rules.MAT_GRASS
+    assert int(s.mat_map[32 * 64 + 33]) == rules.MAT_GRASS
     st = set_inv(make_state(), wood=2)
     s, _ = run(st, A['place_table'])
-    assert int(s.mat_map[32, 33]) == rules.MAT_TABLE
+    assert int(s.mat_map[32 * 64 + 33]) == rules.MAT_TABLE
     assert int(s.player.inventory[rules.ITEM_ID['wood']]) == 0
 
   def test_place_plant_spawns_entity(self):
     st = set_inv(make_state(), sapling=1)
     s, _ = run(st, A['place_plant'])
     assert etype_at(s, (32, 33)) == rules.E_PLANT
-    assert int(s.ent.aux[32, 33]) == 0  # placed plants do not grow this tick
-    assert int(s.ent.health[32, 33]) == 1
+    assert int(s.ent.aux[32 * 64 + 33]) == 0  # placed plants do not grow this tick
+    assert int(s.ent.health[32 * 64 + 33]) == 1
     assert int(s.player.achievements[rules.ACH_ID['place_plant']]) == 1
 
   def test_make_wood_pickaxe_needs_table(self):
@@ -218,7 +219,7 @@ class TestCombat:
       st = add_entity(st, rules.E_ZOMBIE, (32, 33), health=5, aux=3)
       st = set_inv(st, **items)
       s, _ = run(st, A['do'])
-      assert int(s.ent.health[32, 33]) == expected_hp, items
+      assert int(s.ent.health[32 * 64 + 33]) == expected_hp, items
 
   def test_defeat_zombie_achievement(self):
     st = add_entity(make_state(), rules.E_ZOMBIE, (32, 33), health=1)
@@ -234,7 +235,7 @@ class TestCombat:
     s, _ = run(st, A['do'])
     assert int(s.player.inventory[rules.ITEM_FOOD]) == 6
     assert int(s.player.achievements[rules.ACH_ID['eat_plant']]) == 1
-    assert int(s.ent.aux[32, 33]) == 1  # grown reset to 0, then +1 this tick
+    assert int(s.ent.aux[32 * 64 + 33]) == 1  # grown reset to 0, then +1 this tick
 
   def test_unripe_plant_not_eaten(self):
     st = add_entity(make_state(), rules.E_PLANT, (32, 33), health=1,
@@ -254,12 +255,12 @@ class TestZombie:
     st = add_entity(st, rules.E_ZOMBIE, (32, 33), health=5)
     s, out = run(st, A['noop'])
     assert int(s.player.inventory[rules.ITEM_HEALTH]) == 7
-    assert int(s.ent.aux[32, 33]) == 5
+    assert int(s.ent.aux[32 * 64 + 33]) == 5
     assert float(out.reward) == pytest.approx(-0.2)
     # Next tick: cooldown ticks down instead of damage.
     s2, _ = run(s, A['noop'])
     assert int(s2.player.inventory[rules.ITEM_HEALTH]) == 7
-    assert int(s2.ent.aux[32, 33]) == 4
+    assert int(s2.ent.aux[32 * 64 + 33]) == 4
 
   def test_zombie_hits_sleeping_player_for_7(self):
     st = make_state(mat=rules.MAT_STONE, player_pos=(32, 32))
@@ -286,7 +287,7 @@ class TestArrow:
                     facing=rules.DIR_RIGHT)
     s, _ = run(st, A['noop'])
     assert etype_at(s, (29, 28)) == rules.E_ARROW
-    assert int(s.ent.facing[29, 28]) == rules.DIR_RIGHT
+    assert int(s.ent.facing[29 * 64 + 28]) == rules.DIR_RIGHT
     assert etype_at(s, (28, 28)) == 0
 
   def test_arrow_hits_player(self):
@@ -301,14 +302,14 @@ class TestArrow:
     st = set_mat(make_state(), (29, 28), rules.MAT_TABLE)
     st = add_entity(st, rules.E_ARROW, (28, 28), facing=rules.DIR_RIGHT)
     s, _ = run(st, A['noop'])
-    assert int(s.mat_map[29, 28]) == rules.MAT_PATH
+    assert int(s.mat_map[29 * 64 + 28]) == rules.MAT_PATH
     assert etype_at(s, (28, 28)) == 0
 
   def test_arrow_despawns_on_stone(self):
     st = set_mat(make_state(), (29, 28), rules.MAT_STONE)
     st = add_entity(st, rules.E_ARROW, (28, 28), facing=rules.DIR_RIGHT)
     s, _ = run(st, A['noop'])
-    assert int(s.mat_map[29, 28]) == rules.MAT_STONE
+    assert int(s.mat_map[29 * 64 + 28]) == rules.MAT_STONE
     assert etype_at(s, (28, 28)) == 0
 
   def test_arrow_crosses_water(self):
@@ -323,7 +324,7 @@ class TestPlant:
   def test_plant_grows(self):
     st = add_entity(make_state(), rules.E_PLANT, (28, 28), health=1)
     s, _ = run(st, A['noop'])
-    assert int(s.ent.aux[28, 28]) == 1
+    assert int(s.ent.aux[28 * 64 + 28]) == 1
 
   def test_plant_eaten_by_adjacent_cow(self):
     # objects.py:405-411 — pen the cow in stone so it stays adjacent.
@@ -339,7 +340,7 @@ class TestPlant:
     # env.py:87-89: objects beyond L1 distance 18 do not update.
     st = add_entity(make_state(), rules.E_PLANT, (2, 2), health=1)
     s, _ = run(st, A['noop'])
-    assert int(s.ent.aux[2, 2]) == 0
+    assert int(s.ent.aux[2 * 64 + 2]) == 0
 
 
 class TestLifeStats:

@@ -18,17 +18,17 @@ def world():
 
 
 def test_shapes_and_player(world):
-  assert world.mat_map.shape == (64, 64)
-  assert world.ent.etype.shape == (64, 64)
+  assert world.mat_map.shape == (64 * 64,)  # planes are stored flat
+  assert world.ent.etype.shape == (64 * 64,)
   # Player at center (env.py:71,76-78).
-  assert world.ent.etype[32, 32] == rules.E_PLAYER
+  assert world.ent.etype[32 * 64 + 32] == rules.E_PLAYER
   assert tuple(world.player.pos) == (32, 32)
   assert world.player.inventory[rules.ITEM_HEALTH] == 9
 
 
 def test_spawn_area_is_grass(world):
   # start-area sigmoid forces grass near spawn (worldgen.py:25-33).
-  m = np.asarray(world.mat_map)
+  m = np.asarray(world.mat_map).reshape(64, 64)
   center = m[30:35, 30:35]
   assert (center == rules.MAT_GRASS).mean() > 0.9
 
@@ -54,8 +54,8 @@ def test_entity_channels_consistent(world):
 
 
 def test_mob_spawn_rules(world):
-  et = np.asarray(world.ent.etype)
-  m = np.asarray(world.mat_map)
+  et = np.asarray(world.ent.etype).reshape(64, 64)
+  m = np.asarray(world.mat_map).reshape(64, 64)
   xs, ys = np.meshgrid(np.arange(64), np.arange(64), indexing='ij')
   dist = np.sqrt((xs - 32.0) ** 2 + (ys - 32.0) ** 2)
   cow, zom, skel = (et == rules.E_COW), (et == rules.E_ZOMBIE), (
@@ -65,7 +65,7 @@ def test_mob_spawn_rules(world):
   assert (dist[zom] > 10).all()              # worldgen.py:73
   assert (m[skel] == rules.MAT_PATH).all()   # worldgen.py:75
   # Initial healths (objects.py:267,286,319).
-  h = np.asarray(world.ent.health)
+  h = np.asarray(world.ent.health).reshape(64, 64)
   assert (h[cow] == 3).all()
   assert (h[zom] == 5).all()
   assert (h[skel] == 3).all()
@@ -84,7 +84,7 @@ def test_vmapped_batch():
   keys = jax.random.split(jax.random.PRNGKey(0), 8)
   batch = jax.jit(jax.vmap(worldgen.generate_world, in_axes=(0, None)),
                   static_argnums=1)(keys, CFG)
-  assert batch.mat_map.shape == (8, 64, 64)
+  assert batch.mat_map.shape == (8, 64 * 64)
   # Batch element matches the unbatched run with the same key.  With
   # noise_mode='fast', worldgen is float32 threshold logic and XLA may
   # fuse/FMA the two programs differently, so a noise value sitting exactly
@@ -122,8 +122,8 @@ def test_average_spawn_counts():
   batch = jax.jit(jax.vmap(worldgen.generate_world, in_axes=(0, None)),
                   static_argnums=1)(keys, CFG)
   et = np.asarray(batch.ent.etype)
-  cows = (et == rules.E_COW).sum((-2, -1)).mean()
-  zombies = (et == rules.E_ZOMBIE).sum((-2, -1)).mean()
+  cows = (et == rules.E_COW).sum(-1).mean()
+  zombies = (et == rules.E_ZOMBIE).sum(-1).mean()
   # ~grass_cells * 0.015 cows; grass is typically 1000-2500 of 4096 cells.
   assert 5 < cows < 60
   assert 1 < zombies < 40
@@ -135,7 +135,7 @@ def test_semantic_view(world):
   # Player id = 13 (N_MATERIALS + 0) at center.
   assert sem[32, 32] == rules.N_MATERIALS
   # Entity cells carry entity ids, everything else material ids.
-  et = np.asarray(world.ent.etype)
+  et = np.asarray(world.ent.etype).reshape(64, 64)
   assert (sem[et > 0] == rules.N_MATERIALS + et[et > 0] - 1).all()
   assert (sem[et == 0] < rules.N_MATERIALS).all()
 
