@@ -38,13 +38,13 @@ def main():
 
   t0 = time.time()
   ts, metrics, stats = train_step(ts)
-  jax.block_until_ready(metrics)
-  compile_s = time.time() - t0
+  float(metrics['loss'])  # host copy: the only reliable completion
+  compile_s = time.time() - t0  # barrier through the device tunnel (PERF.md)
 
   t0 = time.time()
   for _ in range(args.updates):
     ts, metrics, stats = train_step(ts)
-  jax.block_until_ready(metrics)
+  float(metrics['loss'])
   dt = time.time() - t0
   steps = args.updates * args.num_envs * args.rollout
   sps = steps / dt
