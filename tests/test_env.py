@@ -136,6 +136,29 @@ class TestVecEnv:
     assert ended_total == episodes_started - 8 + in_flight_done
     assert done_total > ended_total
 
+  def test_reset_every_cadence(self):
+    """With reset_every=K the reset pass lands only on every K-th tick;
+    finished envs wait latched (same machinery as reset_batch overflow),
+    and each episode is still counted exactly once."""
+    from crafter_tpu.env import home_keys, vec_reset, vec_step
+    import jax
+    cfg = EnvConfig(length=10)
+    n = 8
+    vs = jax.jit(vec_reset, static_argnums=1)(home_keys(0, n), cfg)
+    step = jax.jit(lambda v, a: vec_step(v, a, cfg, n, reset_every=4))
+    ended_total = 0
+    for i in range(24):
+      prev_ep = np.asarray(vs.episode)
+      vs, out, _ = step(vs, np.zeros(n, np.int64))
+      ended_total += int(np.asarray(out.ended).sum())
+      resets = int((np.asarray(vs.episode) != prev_ep).sum())
+      if (i + 1) % 4 != 0:
+        assert resets == 0, (i, resets)   # off-cadence: everyone waits
+    # All envs hit the 10-step cap twice; the cap tick (10, 20) is never
+    # a multiple of 4, so each wave waits 2 ticks for its reset pass.
+    assert ended_total == 16
+    assert (np.asarray(vs.episode) == 3).all()
+
   def test_obs_batch_shape_and_reward(self):
     env = VecEnv(num_envs=4, seed=0)
     obs = env.reset()
