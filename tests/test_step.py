@@ -444,3 +444,39 @@ class TestBalance:
     zpos = np.argwhere(np.asarray(s.ent.etype) == rules.E_ZOMBIE)
     for p in zpos:
       assert (p // 12 == np.asarray([32, 32]) // 12).all()
+
+
+class TestPallasEngine:
+  def test_pallas_engine_matches_jnp(self):
+    """The fused Pallas tick (interpret mode off-TPU) is bit-identical to
+    the vmapped jnp path over multi-tick rollouts — both run the same
+    `_player_core` + `_mob_core` traces.  Batch of 13 exercises the
+    block-padding path (block=32)."""
+    import jax
+    from crafter_tpu.env import home_keys, vec_reset
+    from crafter_tpu import step as step_lib
+
+    n = 13
+    cfg = CFG
+    vs = jax.jit(vec_reset, static_argnums=1)(home_keys(5, n), cfg)
+    sp = jax.jit(lambda s, a: step_lib.step_batch(s, a, cfg, balance=None,
+                                                  engine='pallas'))
+    sj = jax.jit(lambda s, a: step_lib.step_batch(s, a, cfg, balance=None,
+                                                  engine='jnp'))
+    a, b = vs.env, vs.env
+    key = jax.random.PRNGKey(7)
+    for i in range(12):
+      key, k = jax.random.split(key)
+      acts = jax.random.randint(k, (n,), 0, 17)
+      a, oa = sp(a, acts)
+      b, ob = sj(b, acts)
+    flat_a = jax.tree_util.tree_flatten_with_path(a)[0]
+    flat_b = jax.tree.leaves(b)
+    for (path, x), y in zip(flat_a, flat_b):
+      if jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key):
+        x, y = jax.random.key_data(x), jax.random.key_data(y)
+      np.testing.assert_array_equal(
+          np.asarray(x), np.asarray(y),
+          err_msg=jax.tree_util.keystr(path))
+    np.testing.assert_array_equal(np.asarray(oa.reward), np.asarray(ob.reward))
+    np.testing.assert_array_equal(np.asarray(oa.done), np.asarray(ob.done))
