@@ -1,0 +1,94 @@
+"""Capture a device trace of the engine loop and print per-op timings.
+
+Wraps `jax.profiler` (crafter_tpu/utils/profiling.py) with an hlo_stats
+summary so a perf session is one command:
+
+    python tools/profile_summary.py --num_envs 4096 --iters 20
+    python tools/profile_summary.py --trace /tmp/existing_trace  # reparse
+
+Prints the top self-time HLO ops per loop iteration with source
+attribution — the view that located every round-2 bottleneck (the fused
+kernel share, worldgen noise, layout copies; see PERF.md).
+"""
+
+import argparse
+import glob
+import json
+
+
+def capture(num_envs: int, iters: int, trace_dir: str) -> None:
+  from crafter_tpu.utils import apply_platform_env, enable_compile_cache
+  apply_platform_env()
+  enable_compile_cache()
+  import jax
+  import jax.numpy as jnp
+  from crafter_tpu.config import EnvConfig
+  from crafter_tpu.env import home_keys, vec_reset_chunked, vec_step
+
+  cfg = EnvConfig(reward=False)
+  n = num_envs
+  vs = vec_reset_chunked(home_keys(0, n), cfg, chunk=min(n, 4096))
+  rb = max(32, n // 128)
+
+  @jax.jit
+  def loop(v, key):
+    def body(carry, _):
+      v, key = carry
+      key, k = jax.random.split(key)
+      a = jax.random.randint(k, (n,), 0, 17)
+      v, out, _ = vec_step(v, a, cfg, rb)
+      return (v, key), ()
+    (v, key), _ = jax.lax.scan(body, (v, key), None, length=iters)
+    return v
+
+  key = jax.random.key(0)
+  v = loop(vs, key)
+  v.env.step.sum().item()  # host copy: reliable barrier (PERF.md)
+  jax.profiler.start_trace(trace_dir)
+  v = loop(v, key)
+  v.env.step.sum().item()
+  jax.profiler.stop_trace()
+
+
+def summarize(trace_dir: str, iters: int, top: int) -> None:
+  files = glob.glob(f'{trace_dir}/plugins/profile/*/*.xplane.pb')
+  if not files:
+    print(f'no xplane.pb under {trace_dir}')
+    return
+  from xprof.convert import raw_to_tool_data as r2t
+  data, _ = r2t.xspace_to_tool_data([max(files)], 'hlo_stats', {})
+  d = json.loads(data) if isinstance(data, (str, bytes)) else data
+  cols = [c['label'] for c in d['cols']]
+  recs = [[c.get('v') for c in r['c']] for r in d['rows']]
+  i_name = cols.index('HLO op name')
+  i_cat = cols.index('HLO op category')
+  i_self = cols.index('Total self time (us)')
+  i_occ = cols.index('#Occurrences')
+  i_src = cols.index('Source Info')
+  recs.sort(key=lambda r: -(r[i_self] or 0))
+  total = sum(r[i_self] or 0 for r in recs)
+  print(f'{"ms/iter":>8} {"x":>4} {"category":<16} {"op":<28} source')
+  for r in recs[:top]:
+    src = (r[i_src] or '').split("title=''>")[-1].split('<')[0]
+    print(f'{(r[i_self] or 0) / iters / 1000:8.3f} {int(r[i_occ] or 0):4d} '
+          f'{(r[i_cat] or "")[:16]:<16} {(r[i_name] or "")[:28]:<28} '
+          f'{src[:44]}')
+  print(f'total self time: {total / iters / 1000:.2f} ms/iter')
+
+
+def main():
+  parser = argparse.ArgumentParser()
+  parser.add_argument('--num_envs', type=int, default=4096)
+  parser.add_argument('--iters', type=int, default=20)
+  parser.add_argument('--trace', type=str, default=None,
+                      help='reparse an existing trace dir instead of running')
+  parser.add_argument('--top', type=int, default=20)
+  args = parser.parse_args()
+  trace_dir = args.trace or '/tmp/crafter_trace'
+  if not args.trace:
+    capture(args.num_envs, args.iters, trace_dir)
+  summarize(trace_dir, args.iters, args.top)
+
+
+if __name__ == '__main__':
+  main()
