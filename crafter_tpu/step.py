@@ -110,61 +110,10 @@ class StepOut:
 # ---------------------------------------------------------------------------
 
 
-def _shift_xy(a: jax.Array, dx: int, dy: int) -> jax.Array:
-  """Translate plane content by (dx, dy); cells shifted in from outside are 0."""
-  zero = jnp.zeros((), a.dtype)
-  out = jnp.roll(a, (dx, dy), (0, 1))
-  if dx > 0:
-    out = out.at[:dx, :].set(zero)
-  elif dx < 0:
-    out = out.at[dx:, :].set(zero)
-  if dy > 0:
-    out = out.at[:, :dy].set(zero)
-  elif dy < 0:
-    out = out.at[:, dy:].set(zero)
-  return out
-
-
-def _push(a: jax.Array, d: int) -> jax.Array:
-  """out[c] = a[c - DIRS[d]]: content travels one cell along direction d."""
-  return _shift_xy(a, DIRS[d][0], DIRS[d][1])
-
-
-def _pull(a: jax.Array, d: int) -> jax.Array:
-  """out[c] = a[c + DIRS[d]]: what each cell sees at its dir-d neighbor."""
-  return _shift_xy(a, -DIRS[d][0], -DIRS[d][1])
-
-
 def _iota2(w: int, h: int):
   x = jax.lax.broadcasted_iota(jnp.int32, (w, h), 0)
   y = jax.lax.broadcasted_iota(jnp.int32, (w, h), 1)
   return x, y
-
-
-def _onehot(pos: jax.Array, w: int, h: int) -> jax.Array:
-  """(w, h) bool plane marking ``pos``; all-False when pos is out of bounds."""
-  x, y = _iota2(w, h)
-  return (x == pos[0]) & (y == pos[1])
-
-
-def _read(plane: jax.Array, oh: jax.Array) -> jax.Array:
-  """Value of a plane at a one-hot position (0 when the one-hot is empty)."""
-  return jnp.sum(jnp.where(oh, plane, 0))
-
-
-def _tread(table, idx: jax.Array):
-  """table[idx] for a tiny (<= a few dozen rows) table and a scalar index.
-
-  A one-hot compare-select instead of a dynamic slice: per-env scalar
-  gathers serialize on TPU, 13 compares fuse into the surrounding program.
-  Out-of-range indices read as 0 (the reference's None/out-of-world row 0).
-  """
-  t = jnp.asarray(table)
-  oh = idx == jnp.arange(t.shape[0])
-  if t.ndim == 1:
-    out = jnp.sum(jnp.where(oh, t.astype(jnp.int32), 0))
-    return out.astype(bool) if t.dtype == bool else out
-  return jnp.sum(jnp.where(oh[:, None], t.astype(jnp.int32), 0), 0)
 
 
 def _mat_in(m: jax.Array, member_table) -> jax.Array:
@@ -236,55 +185,11 @@ def _cell_bits(seed: jax.Array, chan: int, w: int, h: int) -> jax.Array:
   return _fmix(_fmix(v))
 
 
-def _toward(px, py, x, y, long_axis):
-  """Per-cell axis-aligned step toward the player (objects.py:54-62).
-
-  Picks the long axis when ``long_axis`` else the short axis; ties go to y
-  (``dists[0] > dists[1]`` vs ``<=``).  Returns (mvx, mvy) planes in
-  {-1, 0, 1}; a zero offset on the chosen axis yields a (0, 0) "move" that
-  can never succeed (the reference moves onto its own occupied cell).
-  """
-  offx, offy = px - x, py - y
-  # Logical blend, not select_n: Mosaic cannot select between i1 operands.
-  long_axis = jnp.asarray(long_axis)
-  use_x = ((long_axis & (jnp.abs(offx) > jnp.abs(offy)))
-           | (~long_axis & (jnp.abs(offx) <= jnp.abs(offy))))
-  # Compare-chain sign (jnp.sign's int lowering trips Mosaic's truncation).
-  sgn = lambda v: jnp.where(v > 0, 1, jnp.where(v < 0, -1, 0))
-  mvx = jnp.where(use_x, sgn(offx), 0)
-  mvy = jnp.where(use_x, 0, sgn(offy))
-  return mvx, mvy
-
-
 def _dirvec(idx: jax.Array):
   """Direction index plane -> (dx, dy) component planes (rules.DIRS)."""
   dx = jnp.where(idx == 0, -1, jnp.where(idx == 1, 1, 0))
   dy = jnp.where(idx == 2, -1, jnp.where(idx == 3, 1, 0))
   return dx, dy
-
-
-def _inside_scalar(pos: jax.Array, area) -> jax.Array:
-  x, y = pos[..., 0], pos[..., 1]
-  return (0 <= x) & (x < area[0]) & (0 <= y) & (y < area[1])
-
-
-# ---------------------------------------------------------------------------
-# Phase 1: player update (objects.py:99-261).
-#
-# Like the mob phase, the player update is written ONCE as a flat-plane core
-# (`_player_core`) shared verbatim by two backends: vmapped jnp per env (CPU
-# and the single-env path) and the fused Pallas tick kernel on TPU
-# (`_tick_pallas`), where it runs back-to-back with `_mob_core` so the five
-# channel planes make exactly one HBM round trip per tick.
-#
-# Core conventions (both backends execute the same trace):
-#   * planes are (..., C) int32 over flat cells (x-major, C = W*H);
-#   * per-env scalars are (..., 1) — () batch dims under vmap, (E,) in-kernel;
-#   * the inventory is (..., 16) and achievements (..., 22) int32;
-#   * every table lookup is a static compare-select unroll over the (tiny,
-#     sparse) rule tables — scalar constants only, which Mosaic lowers
-#     natively (dynamic gathers and array constants do not).
-# ---------------------------------------------------------------------------
 
 
 def _lane_iota(n: int, like: jax.Array) -> jax.Array:
