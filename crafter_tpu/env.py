@@ -315,13 +315,31 @@ def _reset_pass(env: State, done: jax.Array, episode: jax.Array,
   r = reset_batch
   n = done.shape[0]
   # The first r finished envs reset this pass (overflow waits for the next).
+  # `rank` doubles as the permutation: row k of `p_rows` marks the env with
+  # rank k (a single compare — the previous top_k was a device-wide sort).
   rank = jnp.cumsum(done) - 1
   selected = done & (rank < r)
-  _, idx = jax.lax.top_k(done.astype(jnp.int32), r)  # stable by index
-  sel_done = done[idx]
+  p_rows = (rank[None, :] == jnp.arange(r)[:, None]) & selected[None]
+  keep = ~selected
   ep_next = episode + 1
+
+  # Gather the selected envs' home keys / episode counters with the same
+  # one-hot matmul (exact: 16-bit halves in float32).  Rows with no
+  # selected env read zeros and generate a throwaway world, exactly like
+  # the old top_k padding rows.
+  def rows_gather16(vals32):
+    """(n, d) int32 of 16-bit halves -> (r, d), exact via f32 matmul."""
+    return (p_rows.astype(jnp.float32) @ vals32.astype(jnp.float32)
+            ).astype(jnp.int32)
+
+  hk = jax.random.key_data(home_key).astype(jnp.uint32)       # (n, 2)
+  hk16 = jnp.concatenate([(hk & 0xFFFF).astype(jnp.int32),
+                          (hk >> 16).astype(jnp.int32)], -1)  # (n, 4)
+  g = rows_gather16(jnp.concatenate(
+      [hk16, ep_next[:, None].astype(jnp.int32)], -1))        # (r, 5)
+  gk = (g[:, :2] | (g[:, 2:4] << 16)).astype(jnp.uint32)
   gen_keys = jax.vmap(jax.random.fold_in)(
-      home_key[idx], ep_next[idx].astype(jnp.uint32))
+      jax.random.wrap_key_data(gk), g[:, 4].astype(jnp.uint32))
   fresh = jax.vmap(lambda k: worldgen.generate_world(k, cfg))(gen_keys)
 
   # Merge the r fresh worlds back with one-hot row matmuls: dynamic-index
@@ -329,8 +347,6 @@ def _reset_pass(env: State, done: jax.Array, episode: jax.Array,
   # contraction is a real MXU matmul.  Array leaves merge via the matmul;
   # per-env scalar leaves have closed-form fresh values (constants or
   # fold_in chains), computed for all N envs and selected elementwise.
-  p_rows = ((idx[:, None] == jnp.arange(n)) & sel_done[:, None])
-  keep = ~selected
 
   def rows_merge(old, new, precise=False):
     dt = jnp.float32 if precise else jnp.bfloat16
