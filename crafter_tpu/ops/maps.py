@@ -1,5 +1,11 @@
 """Point gather/scatter on per-env grids as one-hot MXU contractions.
 
+STATUS: these primitives carried the round-1 entity-table engine; the
+round-2 cellular-automaton kernel (step.py) needs none of them on the hot
+path.  They remain the TPU-idiomatic replacement for any per-point
+gather/scatter this framework grows next (tooling, custom wrappers) and
+stay covered by tests/test_maps.py.
+
 XLA lowers per-point gathers and scatters to serialized dynamic slices on
 TPU: a single (4096 envs × 256 points) gather from the (64, 64) maps costs
 ~35 ms — the entire simulation tick budget many times over.  These

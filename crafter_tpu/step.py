@@ -502,8 +502,8 @@ def _player_phase(state: State, action: jax.Array, seed: jax.Array,
 # The phase is written ONCE as a flat-plane core over the last axis
 # (`_mob_core`), shared verbatim by two backends:
 #   * jnp: per-env (C,) planes under vmap (CPU and the single-env path);
-#   * pallas: (E, C) blocks inside one fused TPU kernel, every intermediate
-#     in VMEM (see `_mob_phase_pallas`) — the XLA path materializes ~100
+#   * pallas: (E, C) blocks inside the fused tick kernel, every
+#     intermediate in VMEM (see `_tick_pallas`) — the XLA path materializes ~100
 #     (N, C) intermediates to HBM, which dominates the tick.
 # Both backends execute the same trace, so results are bit-identical.
 # ---------------------------------------------------------------------------
@@ -1137,76 +1137,6 @@ def _tick_pallas(states: State, actions, s_player, s_mob,
                   aux=grid(Ao, states.ent.aux),
                   facing=grid(Fo, states.ent.facing)),
       player=player)
-
-
-def _mob_phase_pallas(states: State, seeds, cfg: EnvConfig,
-                      plant_spawn, plant_pos, block: int = 32) -> State:
-  """The whole mob phase as ONE fused Pallas kernel, gridded over envs.
-
-  The XLA path materializes ~100 (N, C) intermediate planes to HBM per
-  tick; here every intermediate lives in VMEM and HBM sees exactly one
-  read and one write of the five narrow channel planes per env.  The
-  kernel body runs the same `_mob_core` trace as the jnp path, so results
-  are bit-identical (tests/test_step.py::test_pallas_engine_matches_jnp).
-  """
-  from jax.experimental import pallas as pl
-  from jax.experimental.pallas import tpu as pltpu
-
-  w, h = cfg.area
-  c = w * h
-  raw = jax.vmap(lambda s, k, ps, pp: _mob_core_args(s, k, ps, pp, cfg,
-                                                     widen=False))(
-      states, seeds, plant_spawn, plant_pos)
-  M, T, Hp, A, F, px, py, sleeping, seed, plant_idx = raw
-  n = M.shape[0]
-  pad = (-n) % block
-  col = lambda s, dt: s.astype(dt).reshape(-1, 1)
-  ins = [M, T, Hp, A, F, col(px, jnp.int32), col(py, jnp.int32),
-         col(sleeping, jnp.int32), col(seed, jnp.int32),
-         col(plant_idx, jnp.int32)]
-  if pad:
-    ins = [jnp.concatenate(
-        [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]) for a in ins]
-  np_ = n + pad
-
-  def kernel(m_ref, t_ref, h_ref, a_ref, f_ref, px_ref, py_ref, sl_ref,
-             seed_ref, pi_ref, om, ot, oh, oa, of_, od):
-    cell = jax.lax.broadcasted_iota(jnp.int32, (block, c), 1)
-    i32 = lambda r: r[...].astype(jnp.int32)
-    outs = _mob_core(
-        cell, i32(m_ref), i32(t_ref), i32(h_ref), i32(a_ref), i32(f_ref),
-        px_ref[...], py_ref[...], sl_ref[...] != 0, seed_ref[...],
-        pi_ref[...], cfg)
-    mo, to, ho, ao, fo, dmg = outs
-    om[...] = mo.astype(om.dtype)
-    ot[...] = to.astype(ot.dtype)
-    oh[...] = ho.astype(oh.dtype)
-    oa[...] = ao.astype(oa.dtype)
-    of_[...] = fo.astype(of_.dtype)
-    od[...] = dmg
-
-  plane = lambda dt: jax.ShapeDtypeStruct((np_, c), dt)
-  spec_plane = pl.BlockSpec((block, c), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-  spec_col = pl.BlockSpec((block, 1), lambda i: (i, 0),
-                          memory_space=pltpu.VMEM)
-  outs = pl.pallas_call(
-      kernel,
-      grid=(np_ // block,),
-      in_specs=[spec_plane] * 5 + [spec_col] * 5,
-      out_specs=[spec_plane] * 5 + [spec_col],
-      out_shape=[plane(M.dtype), plane(T.dtype), plane(Hp.dtype),
-                 plane(A.dtype), plane(F.dtype),
-                 jax.ShapeDtypeStruct((np_, 1), jnp.int32)],
-      # ~80 live (block, C) int32 planes peak at ~20 MB for block=32; v5e
-      # has 128 MB of VMEM, the default scoped limit is only 16 MB.
-      compiler_params=pltpu.CompilerParams(
-          vmem_limit_bytes=100 * 1024 * 1024),
-      interpret=jax.default_backend() != 'tpu',  # CPU: test/debug mode
-  )(*ins)
-  outs = [o[:n] for o in outs]
-  outs = [o.astype(jnp.int32) for o in outs[:5]] + [outs[5]]
-  return jax.vmap(lambda s, *o: _mob_finish(s, o, cfg))(states, *outs)
 
 
 def _finish_tick(state: State, k_balance: jax.Array, cfg: EnvConfig,
