@@ -201,24 +201,32 @@ def render(state: State, cfg: EnvConfig, atlas: Atlas,
   sleeping = state.player.sleeping
 
   # --- local view: material layer (engine.py:165-175) --------------------
+  # The (gw, gh) window around the player is extracted with two tiny
+  # one-hot matmuls per channel plane instead of a per-cell gather
+  # (per-point gathers serialize on TPU; see ops/maps.py).  Out-of-world
+  # rows/columns have empty one-hots and read 0.
+  w, h = cfg.area
   off = jnp.asarray([gw // 2, gh // 2])
-  ij = jnp.stack(jnp.meshgrid(jnp.arange(gw), jnp.arange(gh),
-                              indexing='ij'), -1)           # (gw, gh, 2)
-  wpos = ppos + ij - off
-  inside = ((wpos[..., 0] >= 0) & (wpos[..., 0] < cfg.area[0])
-            & (wpos[..., 1] >= 0) & (wpos[..., 1] < cfg.area[1]))
-  cx = jnp.clip(wpos[..., 0], 0, cfg.area[0] - 1)
-  cy = jnp.clip(wpos[..., 1], 0, cfg.area[1] - 1)
-  cc = cx * cfg.area[1] + cy                    # planes are stored flat
-  mids = jnp.where(inside, state.mat_map[cc].astype(jnp.int32), GRAY_ID)
+  xs = ppos[0] + jnp.arange(gw) - off[0]                    # (gw,)
+  ys = ppos[1] + jnp.arange(gh) - off[1]                    # (gh,)
+  inside = (((xs >= 0) & (xs < w))[:, None]
+            & ((ys >= 0) & (ys < h))[None, :])              # (gw, gh)
+  ohx = (xs[:, None] == jnp.arange(w)).astype(jnp.float32)  # (gw, W)
+  ohy = (jnp.arange(h)[:, None] == ys[None]).astype(jnp.float32)  # (H, gh)
+
+  def window(plane):
+    g = plane.reshape(w, h).astype(jnp.float32)
+    return (ohx @ g @ ohy).astype(jnp.int32)                # (gw, gh)
+
+  mids = jnp.where(inside, window(state.mat_map), GRAY_ID)
   tiles = _table_lookup(atlas.mat, mids)                    # (gw,gh,ux,uy,3)
 
   # --- entity overlay (engine.py:176-181): entities live in the grid, so
   # the occupant's sprite id is a per-tile select over the channel windows,
   # replacing the reference's per-object blits.
-  et = jnp.where(inside, state.ent.etype[cc].astype(jnp.int32), 0)
-  aux = jnp.where(inside, state.ent.aux[cc].astype(jnp.int32), 0)
-  fac = jnp.where(inside, state.ent.facing[cc].astype(jnp.int32), 0)
+  et = window(state.ent.etype)
+  aux = window(state.ent.aux)
+  fac = window(state.ent.facing)
   texid_grid = jnp.where(
       et == rules.E_PLAYER,
       jnp.where(sleeping, TEX_PLAYER_SLEEP, TEX_PLAYER + state.player.facing),
