@@ -257,7 +257,8 @@ def vec_reset_chunked(home_key: jax.Array, cfg: EnvConfig,
 
 
 def vec_step(vs: VecState, actions: jax.Array, cfg: EnvConfig,
-             reset_batch: int, reset_every: int = 1):
+             reset_batch: int, reset_every: int = 1,
+             balance: Optional[bool] = None):
   """Batched tick + partial-batch auto-reset.  Pure/jittable.
 
   Returns ``(vs, out, stepped_env)``: envs that finished have been replaced
@@ -272,17 +273,28 @@ def vec_step(vs: VecState, actions: jax.Array, cfg: EnvConfig,
   512), so one big pass beats K small ones; a finished env idles latched
   for up to K-1 extra ticks, which the `pending` machinery already treats
   exactly like a reset_batch overflow.
+
+  ``balance``: None runs chunk balancing on the global every-10th-tick
+  cadence under a ``lax.cond``; True/False force the phase statically for
+  this tick.  The cond costs real money beyond the skipped compute — XLA
+  copies the five channel planes at the branch boundary (~0.3 ms/tick at
+  4096 envs) — so cadence-aligned callers should statically unroll groups
+  of ``cfg.balance_every`` ticks instead (:func:`vec_step_k`).
   """
-  # Global balance cadence under a real branch: 9 of 10 ticks skip the
-  # chunk-balancing compute entirely (see step_lib.step's `balance` doc).
   tick = vs.tick + 1
-  env, out = jax.lax.cond(
-      (tick % cfg.balance_every) == 0,
-      lambda e, a: step_lib.step_batch(e, a, cfg, balance=True,
-                                       engine=cfg.engine),
-      lambda e, a: step_lib.step_batch(e, a, cfg, balance=False,
-                                       engine=cfg.engine),
-      vs.env, actions)
+  if balance is None:
+    # Global balance cadence under a real branch: 9 of 10 ticks skip the
+    # chunk-balancing compute entirely (see step_lib.step's `balance` doc).
+    env, out = jax.lax.cond(
+        (tick % cfg.balance_every) == 0,
+        lambda e, a: step_lib.step_batch(e, a, cfg, balance=True,
+                                         engine=cfg.engine),
+        lambda e, a: step_lib.step_batch(e, a, cfg, balance=False,
+                                         engine=cfg.engine),
+        vs.env, actions)
+  else:
+    env, out = step_lib.step_batch(vs.env, actions, cfg, balance=balance,
+                                   engine=cfg.engine)
   stepped_env = env
 
   # Envs latched pending from an earlier overflow count as done whether or
@@ -307,6 +319,33 @@ def vec_step(vs: VecState, actions: jax.Array, cfg: EnvConfig,
   vs = VecState(env=env, episode=episode, home_key=vs.home_key, tick=tick,
                 pending=pending)
   return vs, out, stepped_env
+
+
+def vec_step_k(vs: VecState, actions: jax.Array, cfg: EnvConfig,
+               reset_batch: int):
+  """``cfg.balance_every`` ticks with a statically unrolled balance cadence.
+
+  ``actions`` is (K, N) with K == cfg.balance_every.  Chunk balancing runs
+  on the group's last tick as a *static* branch, so no tick pays the
+  ``lax.cond`` plane copies of :func:`vec_step`'s cadence branch (~0.3
+  ms/tick at 4096 envs — the single largest non-kernel item in the tick
+  profile).  The cadence phase is group-aligned rather than aligned to
+  ``vs.tick % K``; like the global cadence itself, the phase relative to
+  episode starts is already arbitrary under auto-reset, so this is
+  distribution-neutral (PARITY.md).
+
+  Returns ``(vs, outs)`` with every ``StepOut`` leaf stacked to (K, N).
+  Callers that need the pre-reset terminal state per tick (``stepped_env``)
+  should use :func:`vec_step`.
+  """
+  k = cfg.balance_every
+  assert actions.shape[0] == k, (actions.shape, k)
+  outs = []
+  for i in range(k):
+    vs, out, _ = vec_step(vs, actions[i], cfg, reset_batch,
+                          balance=(i == k - 1))
+    outs.append(out)
+  return vs, jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
 
 
 def _reset_pass(env: State, done: jax.Array, episode: jax.Array,

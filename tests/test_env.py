@@ -159,6 +159,34 @@ class TestVecEnv:
     assert ended_total == 16
     assert (np.asarray(vs.episode) == 3).all()
 
+  def test_vec_step_k_matches_static_unroll(self):
+    """vec_step_k == K sequential vec_step calls with static balance flags
+    (balance on the group's last tick), leaf for leaf."""
+    from crafter_tpu.env import home_keys, vec_reset, vec_step, vec_step_k
+    import jax
+    cfg = EnvConfig(length=25)
+    n, k = 8, cfg.balance_every
+    vs0 = jax.jit(vec_reset, static_argnums=1)(home_keys(3, n), cfg)
+    actions = np.asarray(
+        jax.random.randint(jax.random.key(7), (2 * k, n), 0, 17))
+
+    grouped = jax.jit(lambda v, a: vec_step_k(v, a, cfg, n))
+    va, vb = vs0, vs0
+    outs_seq = []
+    for g in range(2):
+      va, outs = grouped(va, actions[g * k:(g + 1) * k])
+      for i in range(k):
+        vb, out, _ = vec_step(vb, actions[g * k + i], cfg, n,
+                              balance=(i == k - 1))
+        outs_seq.append(out)
+      got = jax.tree.map(np.asarray, outs)
+      want = jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]),
+                          *outs_seq[g * k:])
+      assert (got.reward == want.reward).all()
+      assert (got.done == want.done).all()
+    for la, lb in zip(jax.tree.leaves(va), jax.tree.leaves(vb)):
+      assert (np.asarray(la) == np.asarray(lb)).all()
+
   def test_obs_batch_shape_and_reward(self):
     env = VecEnv(num_envs=4, seed=0)
     obs = env.reset()

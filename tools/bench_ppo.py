@@ -7,6 +7,13 @@ packing — on the local accelerator, and prints a JSON line.
     python tools/bench_ppo.py --num_envs 4096 --updates 5
 """
 
+import pathlib as _pathlib
+import sys as _sys
+
+# Runnable as a plain script: put the repo root on sys.path so
+# crafter_tpu imports without an installed package.
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
+
 import argparse
 import json
 import time

@@ -22,6 +22,13 @@ with sharded output, so worldgen runs where the rows live), steps only its
 local rows, and the `psum_stats` line is the only cross-host traffic.
 """
 
+import pathlib as _pathlib
+import sys as _sys
+
+# Runnable as a plain script: put the repo root on sys.path so
+# crafter_tpu imports without an installed package.
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
+
 import argparse
 import json
 import time

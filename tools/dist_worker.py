@@ -14,7 +14,13 @@ production uses), and a cross-process stats psum.
 """
 
 import os
+import pathlib
 import sys
+
+# Launched as a script (`python tools/dist_worker.py`), so sys.path[0] is
+# tools/ — make the repo root importable without requiring an installed
+# crafter_tpu package.
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '')
                            + ' --xla_force_host_platform_device_count=4')

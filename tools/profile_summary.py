@@ -11,6 +11,13 @@ attribution — the view that located every round-2 bottleneck (the fused
 kernel share, worldgen noise, layout copies; see PERF.md).
 """
 
+import pathlib as _pathlib
+import sys as _sys
+
+# Runnable as a plain script: put the repo root on sys.path so
+# crafter_tpu imports without an installed package.
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
+
 import argparse
 import glob
 import json
@@ -30,15 +37,21 @@ def capture(num_envs: int, iters: int, trace_dir: str) -> None:
   vs = vec_reset_chunked(home_keys(0, n), cfg, chunk=min(n, 4096))
   rb = max(32, n // 128)
 
+  # Mirror bench.py's loop: one balance-cadence group per scan iteration,
+  # balance as a static branch on the group's last tick.
+  kk = cfg.balance_every
+
   @jax.jit
   def loop(v, key):
     def body(carry, _):
       v, key = carry
       key, k = jax.random.split(key)
-      a = jax.random.randint(k, (n,), 0, 17)
-      v, out, _ = vec_step(v, a, cfg, rb)
+      a = jax.random.randint(k, (kk, n), 0, 17)
+      for i in range(kk):
+        v, out, _ = vec_step(v, a[i], cfg, rb, balance=(i == kk - 1))
       return (v, key), ()
-    (v, key), _ = jax.lax.scan(body, (v, key), None, length=iters)
+    (v, key), _ = jax.lax.scan(body, (v, key), None,
+                               length=max(iters // kk, 1))
     return v
 
   key = jax.random.key(0)

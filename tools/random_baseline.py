@@ -10,6 +10,13 @@ stats.jsonl format, scored by the same geometric-mean pipeline
         --outdir logdir/random
 """
 
+import pathlib as _pathlib
+import sys as _sys
+
+# Runnable as a plain script: put the repo root on sys.path so
+# crafter_tpu imports without an installed package.
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
+
 import argparse
 import time
 

@@ -5,6 +5,13 @@ Writes scores/<task>-<method>.json (same format as the reference's
 analysis/read_metrics.py) and prints the score table.
 """
 
+import pathlib as _pathlib
+import sys as _sys
+
+# Runnable as a plain script: put the repo root on sys.path so
+# crafter_tpu imports without an installed package.
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
+
 import sys
 
 from crafter_tpu import analysis
