@@ -63,7 +63,9 @@ def bench_engine(num_envs, scan_len, repeats=3, render=False,
   # the packaged form — unrolled by hand here so the pixel path still
   # renders every tick).
   kk = cfg.balance_every
-  assert scan_len % kk == 0, (scan_len, kk)
+  # Round to a whole number of cadence groups (a hard assert would reject
+  # user-supplied lengths, e.g. orchestrate's scan_len//4 pixel pass).
+  scan_len = max(kk, scan_len // kk * kk)
 
   @jax.jit
   def loop(vs, key):

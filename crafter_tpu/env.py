@@ -348,6 +348,59 @@ def vec_step_k(vs: VecState, actions: jax.Array, cfg: EnvConfig,
   return vs, jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
 
 
+def vec_step_group(vs: VecState, actions: jax.Array, cfg: EnvConfig,
+                   reset_batch: int):
+  """One whole balance-cadence group (K = cfg.balance_every ticks) as a
+  single fused kernel, with balance and auto-reset at the group boundary.
+
+  Bit-identical to K sequential calls of
+  ``vec_step(..., reset_every=K, balance=(i == K-1))`` (asserted in
+  tests/test_step.py::TestGroupKernel) — which is exactly what the jnp
+  path below runs; the TPU path steps the group inside ONE ``pallas_call``
+  (:func:`crafter_tpu.step.step_group_batch`), keeping the channel planes
+  VMEM-resident across the K ticks instead of paying a per-tick HBM
+  round-trip plus inter-launch XLA glue.
+
+  Semantics note (PARITY.md): finished envs wait until the group boundary
+  for their reset — the same latched-``pending`` machinery as a
+  ``reset_batch`` overflow, just with a bounded K-1 tick wait.  Size
+  ``reset_batch`` for K ticks of deaths (~K*N/170 under a random policy).
+
+  ``actions``: (K, N).  Returns ``(vs, outs)`` with StepOut leaves (K, N).
+  """
+  k = cfg.balance_every
+  assert actions.shape[0] == k, (actions.shape, k)
+  engine = cfg.engine
+  if engine == 'auto':
+    engine = 'pallas' if jax.default_backend() == 'tpu' else 'jnp'
+  if engine == 'jnp':
+    outs = []
+    for i in range(k):
+      vs, out, _ = vec_step(vs, actions[i], cfg, reset_batch,
+                            reset_every=k, balance=(i == k - 1))
+      outs.append(out)
+    return vs, jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+
+  env, raw, occ_pre = step_lib.step_group_batch(vs.env, actions, cfg)
+  # Latch dones across the group (the per-tick path's `pending` machinery,
+  # folded): done_t = pending_0 | any(raw_done_{<=t}); `ended` pulses once.
+  cum = jnp.cumsum(raw.done.astype(jnp.int32), axis=0) > 0
+  done = vs.pending[None] | cum
+  prev = jnp.concatenate([vs.pending[None], done[:-1]], axis=0)
+  outs = raw.replace(done=done, ended=raw.done & ~prev)
+  # Group-end balance (the last tick's balance phase, hoisted out of the
+  # kernel; it reads chunk_touched as of tick K-1 via occ_pre).
+  s_bal = jax.vmap(lambda key, s: step_lib._tick_seeds(key, s)[2])(
+      env.key, env.step)
+  env = jax.vmap(lambda s, kb, o: step_lib.balance_group_finish(
+      s, kb, o, cfg))(env, s_bal, occ_pre)
+  env, episode, pending = _reset_pass(env, done[-1], vs.episode,
+                                      vs.home_key, cfg, reset_batch)
+  vs = VecState(env=env, episode=episode, home_key=vs.home_key,
+                tick=vs.tick + k, pending=pending)
+  return vs, outs
+
+
 def _reset_pass(env: State, done: jax.Array, episode: jax.Array,
                 home_key: jax.Array, cfg: EnvConfig, reset_batch: int):
   """Replace up to ``reset_batch`` finished envs with fresh worlds."""

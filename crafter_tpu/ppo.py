@@ -260,29 +260,37 @@ class PPO:
 
 
 def make_sharded_train(env_cfg: EnvConfig, cfg: PPOConfig, mesh):
-  """jit the train step with the env batch sharded over mesh axis 'dp'.
+  """jit (init, train_step) with the env batch sharded over mesh axis 'dp'.
 
   Parameters/optimizer state replicate; every (N, ...) leaf shards along
   its leading env axis.  XLA derives the gradient all-reduce from the
   global-mean loss — the TPU-native replacement for NCCL allreduce.
+
+  Shardings are pinned explicitly on BOTH sides of the jit: with only
+  donation, the first call's output shardings (chosen by GSPMD) need not
+  match the input placement, so every subsequent call recompiles — ~18 s
+  per update on the 8-device CPU mesh.  Pinning in/out to the same tree
+  makes train_step compile exactly once.  Returns
+  ``(ppo, init, train_step, shard_state)`` where ``init`` is the jitted
+  sharded initializer (eager ``ppo.init`` dispatches the whole worldgen op
+  by op — ~190 s on CPU for 256 envs; jitted it is one compile + one run).
   """
   from jax.sharding import NamedSharding, PartitionSpec as P
   ppo = PPO(env_cfg, cfg)
   repl = NamedSharding(mesh, P())
   dp = NamedSharding(mesh, P('dp'))
+  batched = lambda leaf: leaf.ndim >= 1 and leaf.shape[0] == cfg.num_envs
+  abs_ts = jax.eval_shape(ppo.init, jax.random.key(0))
+  ts_shards = jax.tree.map(lambda l: dp if batched(l) else repl, abs_ts)
+  _, abs_metrics = jax.eval_shape(ppo.train_step, abs_ts)
+  m_shards = jax.tree.map(lambda _: repl, abs_metrics)
+
+  init = jax.jit(ppo.init, out_shardings=ts_shards)
+  train_step = jax.jit(ppo.train_step, donate_argnums=(0,),
+                       in_shardings=(ts_shards,),
+                       out_shardings=(ts_shards, m_shards))
 
   def shard_state(ts: PPOState) -> PPOState:
-    def place(leaf, sh):
-      return jax.device_put(leaf, sh)
-    batched = lambda leaf: (hasattr(leaf, 'ndim') and leaf.ndim >= 1
-                            and leaf.shape[0] == cfg.num_envs)
-    vec = jax.tree.map(
-        lambda leaf: place(leaf, dp if batched(leaf) else repl), ts.vec)
-    obs = place(ts.obs, dp)
-    rest = jax.tree.map(lambda leaf: place(leaf, repl),
-                        (ts.params, ts.opt_state))
-    return ts.replace(params=rest[0], opt_state=rest[1], vec=vec, obs=obs,
-                      ep_len=place(ts.ep_len, dp),
-                      ep_ret=place(ts.ep_ret, dp))
+    return jax.tree.map(jax.device_put, ts, ts_shards)
 
-  return ppo, jax.jit(ppo.train_step, donate_argnums=(0,)), shard_state
+  return ppo, init, train_step, shard_state

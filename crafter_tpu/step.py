@@ -1139,6 +1139,186 @@ def _tick_pallas(states: State, actions, s_player, s_mob,
       player=player)
 
 
+def step_group_batch(states: State, actions: jax.Array, cfg: EnvConfig,
+                     block: int = 32):
+  """K ticks as ONE fused Pallas kernel — planes stay VMEM-resident.
+
+  The per-tick kernel (:func:`_tick_pallas`) still pays, per tick, one HBM
+  round-trip of the five channel planes plus the XLA glue between launches
+  (pads, narrowing casts, the balance/reset plumbing).  Stepping a whole
+  balance-cadence group (K = cfg.balance_every) inside one kernel removes
+  all of it: HBM sees one read and one write of the planes per K ticks,
+  and reward/done/unlocked bookkeeping (the non-balance part of
+  :func:`_finish_tick`) runs on in-register lane vectors.
+
+  Balance and auto-reset are group-boundary events for this path — exactly
+  the semantics of K :func:`crafter_tpu.env.vec_step` calls with
+  ``reset_every=K, balance=(i == K-1)`` (the caller,
+  :func:`crafter_tpu.env.vec_step_group`, finishes the group with
+  :func:`balance_group_finish` and one reset pass; equality is asserted
+  leaf-for-leaf in tests/test_step.py).
+
+  ``actions``: (K, N) int32.  Returns ``(states, raw, occ_pre)`` where
+  ``raw`` is a StepOut with (K, N) leaves of *unlatched* per-tick results
+  and ``occ_pre`` is the (N, C) OR of post-tick occupancy over ticks
+  1..K-1 (what the group-end balance's chunk_touched must see).
+  """
+  from jax.experimental import pallas as pl
+  from jax.experimental.pallas import tpu as pltpu
+
+  w, h = cfg.area
+  c = w * h
+  k, n = actions.shape
+  p = states.player
+  col = lambda s: jnp.asarray(s).astype(jnp.int32).reshape(-1, 1)
+  kd = jax.lax.bitcast_convert_type(
+      jax.random.key_data(states.key), jnp.int32)
+  ins = [states.mat_map, states.ent.etype,
+         states.ent.health, states.ent.aux,
+         states.ent.facing,
+         actions.T.astype(jnp.int32),
+         col(p.facing), col(p.pos[..., 0]), col(p.pos[..., 1]),
+         col(p.sleeping), col(p.hunger), col(p.thirst),
+         col(p.fatigue), col(p.recover), col(p.last_health),
+         col(states.step), col(states.env_last_health),
+         col(kd[..., 0]), col(kd[..., 1]),
+         p.inventory.astype(jnp.int32), p.achievements.astype(jnp.int32),
+         states.unlocked.astype(jnp.int32)]
+  pad = (-n) % block
+  if pad:
+    ins = [jnp.concatenate(
+        [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]) for a in ins]
+  np_ = n + pad
+
+  def kernel(m_ref, t_ref, h_ref, a_ref, f_ref, act_ref, fac_ref, px_ref,
+             py_ref, sl_ref, hu_ref, th_ref, fa_ref, re_ref, lh_ref,
+             st_ref, elh_ref, k0_ref, k1_ref, inv_ref, ach_ref, unl_ref,
+             om, ot, oh, oa, of_, oocc, opx, opy, ofac, osl, ohu, oth,
+             ofa, ore, olh, oelh, oinv, oach, ounl, orew, odone, odead):
+    cell = jax.lax.broadcasted_iota(jnp.int32, (block, c), 1)
+    i32 = lambda r: r[...].astype(jnp.int32)
+    M, T, Hp, A, F = i32(m_ref), i32(t_ref), i32(h_ref), i32(a_ref), \
+        i32(f_ref)
+    fac, px, py = fac_ref[...], px_ref[...], py_ref[...]
+    slp = sl_ref[...] != 0
+    hu, th, fa, re, lh = (hu_ref[...], th_ref[...], fa_ref[...],
+                          re_ref[...], lh_ref[...])
+    elh = elh_ref[...]
+    inv, ach, unl = inv_ref[...], ach_ref[...], unl_ref[...] != 0
+    k0, k1 = k0_ref[...], k1_ref[...]
+    acts = act_ref[...]
+    occ = jnp.zeros((block, c), jnp.int32)
+    lane16 = _lane_iota(rules.N_ITEMS, inv)
+    length = int(cfg.length) if cfg.length else 0
+
+    for t in range(k):
+      step_t = st_ref[...] + (t + 1)
+      # _tick_seeds, on (block, 1) lane columns.
+      base = _fmix(k0 ^ _fmix(k1 + step_t * _i32c(0x9E3779B9)))
+      s_mob = _fmix(base + _i32c(0x85EBCA6B))
+      (M, T, Hp, A, px, py, fac, slp, hu, th, fa, re, lh, inv, ach,
+       plant_idx) = _player_core(
+          cell, M, T, Hp, A, acts[:, t:t + 1], fac, px, py, slp, hu, th,
+          fa, re, lh, inv, ach, base, cfg)
+      M, T, Hp, A, F, dmg = _mob_core(
+          cell, M, T, Hp, A, F, px, py, slp, s_mob, plant_idx, cfg)
+      inv = jnp.where(lane16 == rules.ITEM_HEALTH,
+                      jnp.maximum(0, inv - dmg), inv)
+      # Reward / done (the non-balance part of _finish_tick).
+      hp = jnp.sum(jnp.where(lane16 == rules.ITEM_HEALTH, inv, 0), -1,
+                   keepdims=True)
+      new_unlock = jnp.sum(((ach > 0) & ~unl).astype(jnp.int32), -1,
+                           keepdims=True) > 0
+      reward = ((hp - elh).astype(jnp.float32) / 10.0
+                + jnp.where(new_unlock, 1.0, 0.0))
+      unl = unl | (ach > 0)
+      elh = hp
+      dead = hp <= 0
+      done = dead | (step_t >= length) if length else dead
+      orew[:, t:t + 1] = reward
+      odone[:, t:t + 1] = done.astype(jnp.int32)
+      odead[:, t:t + 1] = dead.astype(jnp.int32)
+      if t < k - 1:
+        occ = occ | T   # etype != 0 <=> occupied; OR keeps it cheap
+
+    om[...] = M.astype(om.dtype)
+    ot[...] = T.astype(ot.dtype)
+    oh[...] = Hp.astype(oh.dtype)
+    oa[...] = A.astype(oa.dtype)
+    of_[...] = F.astype(of_.dtype)
+    oocc[...] = (occ != 0).astype(oocc.dtype)
+    opx[...], opy[...], ofac[...] = px, py, fac
+    osl[...] = slp.astype(jnp.int32)
+    ohu[...], oth[...], ofa[...], ore[...], olh[...] = hu, th, fa, re, lh
+    oelh[...] = elh
+    oinv[...] = inv
+    oach[...] = ach
+    ounl[...] = unl.astype(jnp.int32)
+
+  plane = lambda dt: jax.ShapeDtypeStruct((np_, c), dt)
+  colsd = jax.ShapeDtypeStruct((np_, 1), jnp.int32)
+  lanes = lambda m, dt=jnp.int32: jax.ShapeDtypeStruct((np_, m), dt)
+  spec = lambda width: pl.BlockSpec((block, width), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)
+  outs = pl.pallas_call(
+      kernel,
+      grid=(np_ // block,),
+      in_specs=([spec(c)] * 5 + [spec(k)] + [spec(1)] * 13
+                + [spec(rules.N_ITEMS), spec(rules.N_ACHIEVEMENTS),
+                   spec(rules.N_ACHIEVEMENTS)]),
+      out_specs=([spec(c)] * 6 + [spec(1)] * 10
+                 + [spec(rules.N_ITEMS), spec(rules.N_ACHIEVEMENTS),
+                    spec(rules.N_ACHIEVEMENTS)] + [spec(k)] * 3),
+      out_shape=([plane(states.mat_map.dtype), plane(states.ent.etype.dtype),
+                  plane(states.ent.health.dtype),
+                  plane(states.ent.aux.dtype),
+                  plane(states.ent.facing.dtype), plane(jnp.uint8)]
+                 + [colsd] * 10
+                 + [lanes(rules.N_ITEMS), lanes(rules.N_ACHIEVEMENTS),
+                    lanes(rules.N_ACHIEVEMENTS)]
+                 + [lanes(k, jnp.float32), lanes(k), lanes(k)]),
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=100 * 1024 * 1024),
+      interpret=jax.default_backend() != 'tpu',  # CPU: test/debug mode
+  )(*ins)
+  outs = [o[:n] for o in outs]
+  (Mo, To, Ho, Ao, Fo, occ_pre, px2, py2, fac2, slp2, hu2, th2, fa2, re2,
+   lh2, elh2, inv2, ach2, unl2, rew, done, dead) = outs
+  player = Player(
+      pos=jnp.concatenate([px2, py2], -1), facing=fac2[:, 0],
+      inventory=inv2, achievements=ach2, sleeping=slp2[:, 0] != 0,
+      hunger=hu2[:, 0], thirst=th2[:, 0], fatigue=fa2[:, 0],
+      recover=re2[:, 0], last_health=lh2[:, 0])
+  states = states.replace(
+      mat_map=Mo, ent=EntMaps(etype=To, health=Ho, aux=Ao, facing=Fo),
+      player=player, step=states.step + k,
+      env_last_health=elh2[:, 0], unlocked=unl2 != 0)
+  raw = StepOut(reward=rew.T, done=done.T != 0, dead=dead.T != 0,
+                ended=done.T != 0)
+  return states, raw, occ_pre
+
+
+def balance_group_finish(state: State, k_balance: jax.Array,
+                         occ_pre: jax.Array, cfg: EnvConfig) -> State:
+  """Group-end chunk balancing for :func:`step_group_batch` (one env).
+
+  Replays the last tick's :func:`_finish_tick` balance exactly: the
+  balance phase must see chunk_touched as of tick K-1 (accumulated from
+  the group's intermediate occupancy, ``occ_pre``), and the final touched
+  update includes the post-balance spawns (env.py:90-95 + the defaultdict
+  growth on add/move, engine.py:36,:57,:78-79).
+  """
+  w, h = cfg.area
+  touched = state.chunk_touched | _chunk_reduce(
+      (occ_pre != 0).reshape(w, h), cfg, False, jnp.any)
+  state = state.replace(chunk_touched=touched)
+  despawn, spawns = _balance_phase(state, k_balance, cfg)
+  state = _apply_balance(state, despawn, spawns, cfg)
+  touched = state.chunk_touched | _chunk_reduce(
+      (state.ent.etype > 0).reshape(w, h), cfg, False, jnp.any)
+  return state.replace(chunk_touched=touched)
+
+
 def _finish_tick(state: State, k_balance: jax.Array, cfg: EnvConfig,
                  balance: bool | None) -> Tuple[State, StepOut]:
   """Chunk balancing + bookkeeping + reward/done (one env)."""

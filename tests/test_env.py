@@ -171,19 +171,51 @@ class TestVecEnv:
         jax.random.randint(jax.random.key(7), (2 * k, n), 0, 17))
 
     grouped = jax.jit(lambda v, a: vec_step_k(v, a, cfg, n))
+    # Two jitted closures, one per static balance flag: eager vec_step is
+    # ~2 min/call on CPU, which made this test effectively un-runnable.
+    step_bal = jax.jit(lambda v, a: vec_step(v, a, cfg, n, balance=True))
+    step_nobal = jax.jit(lambda v, a: vec_step(v, a, cfg, n, balance=False))
     va, vb = vs0, vs0
     outs_seq = []
     for g in range(2):
       va, outs = grouped(va, actions[g * k:(g + 1) * k])
       for i in range(k):
-        vb, out, _ = vec_step(vb, actions[g * k + i], cfg, n,
-                              balance=(i == k - 1))
+        fn = step_bal if i == k - 1 else step_nobal
+        vb, out, _ = fn(vb, actions[g * k + i])
         outs_seq.append(out)
       got = jax.tree.map(np.asarray, outs)
       want = jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]),
                           *outs_seq[g * k:])
       assert (got.reward == want.reward).all()
       assert (got.done == want.done).all()
+    for la, lb in zip(jax.tree.leaves(va), jax.tree.leaves(vb)):
+      assert (np.asarray(la) == np.asarray(lb)).all()
+
+  def test_vec_step_k_matches_dynamic_cadence(self):
+    """For a tick-aligned caller (vs.tick % K == 0), one vec_step_k group
+    == K ticks of the original balance=None lax.cond path: the dynamic
+    cadence fires on the group's last tick (tick % K == 0), exactly where
+    the static unroll places it.  Guards the equivalence bench.py and
+    profile_summary.py rely on."""
+    from crafter_tpu.env import home_keys, vec_reset, vec_step, vec_step_k
+    import jax
+    cfg = EnvConfig(length=25)
+    n, k = 8, cfg.balance_every
+    vs0 = jax.jit(vec_reset, static_argnums=1)(home_keys(5, n), cfg)
+    assert int(vs0.tick) == 0
+    actions = np.asarray(
+        jax.random.randint(jax.random.key(11), (2 * k, n), 0, 17))
+
+    grouped = jax.jit(lambda v, a: vec_step_k(v, a, cfg, n))
+    dyn = jax.jit(lambda v, a: vec_step(v, a, cfg, n))  # balance=None
+    va, vb = vs0, vs0
+    for g in range(2):
+      va, outs = grouped(va, actions[g * k:(g + 1) * k])
+      for i in range(k):
+        vb, out, _ = dyn(vb, actions[g * k + i])
+        for ga, gb in zip(jax.tree.leaves(jax.tree.map(
+            lambda x: x[i], outs)), jax.tree.leaves(out)):
+          assert (np.asarray(ga) == np.asarray(gb)).all()
     for la, lb in zip(jax.tree.leaves(va), jax.tree.leaves(vb)):
       assert (np.asarray(la) == np.asarray(lb)).all()
 

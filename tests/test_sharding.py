@@ -68,9 +68,9 @@ class TestShardedTrain:
     cfg = PPOConfig(num_envs=16, rollout_len=2, epochs=1, minibatches=2,
                     reset_batch=8)
     with mesh:
-      ppo, train_step, shard_state = make_sharded_train(
+      ppo, init, train_step, shard_state = make_sharded_train(
           EnvConfig(), cfg, mesh)
-      ts = shard_state(ppo.init(jax.random.key(0)))
+      ts = init(jax.random.key(0))
       ts, metrics = train_step(ts)
       jax.block_until_ready(metrics)
     assert int(ts.update) == 1

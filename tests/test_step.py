@@ -446,6 +446,50 @@ class TestBalance:
       assert (p // 12 == np.asarray([32, 32]) // 12).all()
 
 
+class TestGroupKernel:
+  def test_group_kernel_matches_sequential(self):
+    """vec_step_group (K ticks in one fused kernel + group-end balance +
+    one reset pass) is bit-identical to K sequential vec_step calls with
+    reset_every=K and balance on the last tick — the semantics it
+    documents.  Runs the kernel in interpret mode off-TPU; batch of 13
+    exercises the block-padding path."""
+    import dataclasses
+    import jax
+    from crafter_tpu.env import home_keys, vec_reset, vec_step, vec_step_group
+
+    n = 13
+    cfg = dataclasses.replace(CFG, length=25)
+    cfg_pl = dataclasses.replace(cfg, engine='pallas')
+    k = cfg.balance_every
+    vs0 = jax.jit(vec_reset, static_argnums=1)(home_keys(9, n), cfg)
+    actions = np.asarray(
+        jax.random.randint(jax.random.key(3), (3 * k, n), 0, 17))
+
+    group = jax.jit(lambda v, a: vec_step_group(v, a, cfg_pl, 4))
+    seq_bal = jax.jit(lambda v, a: vec_step(v, a, cfg, 4, reset_every=k,
+                                            balance=True))
+    seq_nobal = jax.jit(lambda v, a: vec_step(v, a, cfg, 4, reset_every=k,
+                                              balance=False))
+    va, vb = vs0, vs0
+    for g in range(3):   # group 3 crosses the length=25 cap mid-group
+      va, outs = group(va, actions[g * k:(g + 1) * k])
+      for i in range(k):
+        fn = seq_bal if i == k - 1 else seq_nobal
+        vb, out, _ = fn(vb, actions[g * k + i])
+        for name in ('reward', 'done', 'dead', 'ended'):
+          np.testing.assert_array_equal(
+              np.asarray(getattr(outs, name)[i]),
+              np.asarray(getattr(out, name)), err_msg=f'{name} tick {i}')
+      flat_a = jax.tree_util.tree_flatten_with_path(va)[0]
+      flat_b = jax.tree.leaves(vb)
+      for (path, x), y in zip(flat_a, flat_b):
+        if jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key):
+          x, y = jax.random.key_data(x), jax.random.key_data(y)
+        np.testing.assert_array_equal(
+            np.asarray(x), np.asarray(y),
+            err_msg=f'group {g}: {jax.tree_util.keystr(path)}')
+
+
 class TestPallasEngine:
   def test_pallas_engine_matches_jnp(self):
     """The fused Pallas tick (interpret mode off-TPU) is bit-identical to

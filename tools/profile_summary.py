@@ -23,7 +23,10 @@ import glob
 import json
 
 
-def capture(num_envs: int, iters: int, trace_dir: str) -> None:
+def capture(num_envs: int, iters: int, trace_dir: str) -> int:
+  """Runs the traced loop; returns the number of ticks actually executed
+  (iters rounded down to whole balance-cadence groups), which summarize()
+  must use as the per-iteration normalizer."""
   from crafter_tpu.utils import apply_platform_env, enable_compile_cache
   apply_platform_env()
   enable_compile_cache()
@@ -41,6 +44,8 @@ def capture(num_envs: int, iters: int, trace_dir: str) -> None:
   # balance as a static branch on the group's last tick.
   kk = cfg.balance_every
 
+  groups = max(iters // kk, 1)
+
   @jax.jit
   def loop(v, key):
     def body(carry, _):
@@ -50,8 +55,7 @@ def capture(num_envs: int, iters: int, trace_dir: str) -> None:
       for i in range(kk):
         v, out, _ = vec_step(v, a[i], cfg, rb, balance=(i == kk - 1))
       return (v, key), ()
-    (v, key), _ = jax.lax.scan(body, (v, key), None,
-                               length=max(iters // kk, 1))
+    (v, key), _ = jax.lax.scan(body, (v, key), None, length=groups)
     return v
 
   key = jax.random.key(0)
@@ -61,6 +65,7 @@ def capture(num_envs: int, iters: int, trace_dir: str) -> None:
   v = loop(v, key)
   v.env.step.sum().item()
   jax.profiler.stop_trace()
+  return groups * kk
 
 
 def summarize(trace_dir: str, iters: int, top: int) -> None:
@@ -98,9 +103,10 @@ def main():
   parser.add_argument('--top', type=int, default=20)
   args = parser.parse_args()
   trace_dir = args.trace or '/tmp/crafter_trace'
+  ticks = args.iters
   if not args.trace:
-    capture(args.num_envs, args.iters, trace_dir)
-  summarize(trace_dir, args.iters, args.top)
+    ticks = capture(args.num_envs, args.iters, trace_dir)
+  summarize(trace_dir, ticks, args.top)
 
 
 if __name__ == '__main__':
