@@ -43,26 +43,20 @@ def bench_engine(num_envs, scan_len, repeats=3, render=False,
   import jax.numpy as jnp
   from crafter_tpu.config import EnvConfig
   from crafter_tpu.env import (CrafterEnv, home_keys, vec_reset_chunked,
-                               vec_step)
+                               vec_step, vec_step_group)
 
   cfg = EnvConfig(reward=False)
   core = CrafterEnv(cfg) if render else None
-  if reset_batch is None:
-    # The VecEnv default sizing: matched to steady-state reset demand
-    # (~N/170 episodes end per step under a random policy; 32 @ 4096 envs
-    # keeps the pending queue drained with max_pending ~10, measured over
-    # 1000-step runs through the synchronized starvation wave).  An
-    # undersized batch silently floods the pending queue — most envs
-    # then step as junk while waiting — so the honest bench uses the
-    # same heuristic the product does.
-    reset_batch = min(num_envs, max(32, num_envs // 128))
-
-  # The scan body is one balance-cadence group of ticks: balance runs as a
-  # static branch on the group's last tick, so no tick pays the lax.cond
-  # plane copies (+9% measured over the per-tick cond loop; vec_step_k is
-  # the packaged form — unrolled by hand here so the pixel path still
-  # renders every tick).
   kk = cfg.balance_every
+  if reset_batch is None:
+    # The VecEnv default sizing heuristic, scaled to the group path's
+    # K-tick reset cadence (~K*N/170 episodes finish per reset pass under
+    # a random policy; an undersized batch silently floods the pending
+    # queue — most envs then step as junk while waiting — so the honest
+    # bench uses the same sizing the product does).
+    per_tick = min(num_envs, max(32, num_envs // 128))
+    reset_batch = per_tick if render else min(num_envs, kk * per_tick)
+
   # Round to a whole number of cadence groups (a hard assert would reject
   # user-supplied lengths, e.g. orchestrate's scan_len//4 pixel pass).
   scan_len = max(kk, scan_len // kk * kk)
@@ -73,14 +67,22 @@ def bench_engine(num_envs, scan_len, repeats=3, render=False,
       vs, key = carry
       key, k_act = jax.random.split(key)
       actions = jax.random.randint(k_act, (kk, num_envs), 0, 17)
-      aggr = jnp.int32(0)
-      for i in range(kk):
-        vs, out, _ = vec_step(vs, actions[i], cfg, reset_batch,
-                              balance=(i == kk - 1))
-        aggr = aggr + out.done.sum()
-        if render:
+      if render:
+        # Pixel config: per-tick stepping, a frame rendered every tick.
+        aggr = jnp.int32(0)
+        for i in range(kk):
+          vs, out, _ = vec_step(vs, actions[i], cfg,
+                                min(num_envs, max(32, num_envs // 128)),
+                                balance=(i == kk - 1))
+          aggr = aggr + out.done.sum()
           obs = jax.vmap(core.observe)(vs.env)
           aggr = aggr + (obs[..., 0, 0, 0].astype(jnp.int32)).sum() * 0
+      else:
+        # State-only config: one whole balance-cadence group per fused
+        # kernel launch (vec_step_group) — the product path for headless
+        # rollouts; bit-identical to K vec_step(reset_every=K) ticks.
+        vs, outs = vec_step_group(vs, actions, cfg, reset_batch)
+        aggr = outs.done.sum()
       return (vs, key), aggr
     (vs, key), dones = jax.lax.scan(body, (vs, key), None,
                                     length=scan_len // kk)

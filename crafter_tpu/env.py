@@ -389,11 +389,12 @@ def vec_step_group(vs: VecState, actions: jax.Array, cfg: EnvConfig,
   prev = jnp.concatenate([vs.pending[None], done[:-1]], axis=0)
   outs = raw.replace(done=done, ended=raw.done & ~prev)
   # Group-end balance (the last tick's balance phase, hoisted out of the
-  # kernel; it reads chunk_touched as of tick K-1 via occ_pre).
+  # kernel; it reads chunk_touched as of tick K-1 via occ_pre) — one
+  # batched Pallas kernel (step_lib._balance_pallas), bit-identical to
+  # vmap(balance_group_finish) over the jnp phase.
   s_bal = jax.vmap(lambda key, s: step_lib._tick_seeds(key, s)[2])(
       env.key, env.step)
-  env = jax.vmap(lambda s, kb, o: step_lib.balance_group_finish(
-      s, kb, o, cfg))(env, s_bal, occ_pre)
+  env = step_lib._balance_pallas(env, s_bal, occ_pre, cfg)
   env, episode, pending = _reset_pass(env, done[-1], vs.episode,
                                       vs.home_key, cfg, reset_batch)
   vs = VecState(env=env, episode=episode, home_key=vs.home_key,

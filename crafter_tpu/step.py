@@ -555,20 +555,26 @@ def _mob_core(cell, M, T, Hp, A, F, px, py, sleeping, seed, plant_idx, cfg):
   def read_at(plane, idx):
     return jnp.sum(jnp.where(cell == idx, plane, 0), -1, keepdims=True)
 
-  # Per-cell randomness: the 7 probability gates + the 2-bit direction draw
-  # are sliced as 16-bit fields out of FOUR avalanche hashes instead of one
-  # hash per draw — the hash chain (two fmix rounds, four int32 multiplies)
-  # is the single most expensive item in the kernel, and a `u < p` float
-  # compare on a 24-bit uniform is equivalent to an integer compare of a
-  # 16-bit field against round(p * 2^16) up to |dp| <= 2^-17, far below
-  # anything the distribution tests (or 1M-step score reproduction) can
-  # see.  Fields of one hash are disjoint bit ranges — iid draws.
-  hb = [_cell_bits_plane(seed, c, x, y) for c in range(4)]
-  lo = lambda b: b & jnp.int32(0xFFFF)
-  hi = lambda b: _srl(b, 16)
-  u16 = (lo(hb[0]), hi(hb[0]), lo(hb[1]), hi(hb[1]),
-         lo(hb[2]), hi(hb[2]), lo(hb[3]))
-  P16 = lambda p: jnp.int32(round(p * 65536.0))
+  # Per-cell randomness: TWO avalanche hashes cover every gate.  A cell is
+  # at most one entity type, so mutually exclusive types can share a field
+  # (the same 10 bits gate a cow's walk, a zombie's chase, and a skeleton's
+  # retreat-axis draw); a skeleton — the busiest type — needs five fields
+  # plus the shared 2-bit direction draw, 52 bits total.  The hash chain
+  # (two fmix rounds, four int32 multiplies each) is the single most
+  # expensive item in the kernel, so halving it from the round-2 four
+  # matters.  A `u < p` compare on a 10-bit field equals the float gate up
+  # to |dp| <= 2^-11 — far below anything the distribution tests (or the
+  # 1M-step score reproduction) can resolve.
+  hb0 = _cell_bits_plane(seed, 0, x, y)
+  hb1 = _cell_bits_plane(seed, 1, x, y)
+  F10 = jnp.int32(0x3FF)
+  g0 = hb0 & F10            # cow walk | zombie chase | skeleton retreat-axis
+  g1 = _srl(hb0, 10) & F10  # zombie long-axis | skeleton shoot
+  g2 = _srl(hb0, 20) & F10  # skeleton approach
+  dirbits = _srl(hb0, 30)   # random-walk direction (all types)
+  g3 = hb1 & F10            # skeleton walk
+  g4 = _srl(hb1, 10) & F10  # skeleton approach-axis
+  P10 = lambda p: jnp.int32(round(p * 1024.0))
 
   # Shared subexpressions of the three `_toward` draws (zombie chase,
   # skeleton retreat, skeleton approach): offsets, magnitudes, axis compare
@@ -597,23 +603,23 @@ def _mob_core(cell, M, T, Hp, A, F, px, py, sleeping, seed, plant_idx, cfg):
   dying = active & (Hp <= 0) & (is_cow | is_zom | is_skel)
 
   # --- decisions (source-cell domain) ------------------------------------
-  rdx, rdy = _dirvec(_srl(hb[3], 16) & 3)
+  rdx, rdy = _dirvec(dirbits)
   # Cow: random walk with p=0.5 (objects.py:277-279).
-  cow_wants = u16[0] < P16(0.5)
+  cow_wants = g0 < P10(0.5)
   # Zombie: chase within dist 8 with p=0.9 (long axis p=0.8), else random
   # walk (objects.py:297-301).
-  chase = (pdist <= 8) & (u16[0] < P16(0.9))
-  twx, twy = toward(u16[1] < P16(0.8))
+  chase = (pdist <= 8) & (g0 < P10(0.9))
+  twx, twy = toward(g1 < P10(0.8))
   zx = jnp.where(chase, twx, rdx)
   zy = jnp.where(chase, twy, rdy)
   # Skeleton (objects.py:327-341): retreat at dist<=3; on a failed retreat
   # fall through the elif chain (shoot / approach / walk).
   retreat = pdist <= 3
-  rwx, rwy = toward(u16[2] < P16(0.6))
-  c_shoot = (pdist <= 5) & (u16[3] < P16(0.5))
-  c_approach = (pdist <= 8) & (u16[4] < P16(0.3))
-  c_walk = u16[5] < P16(0.2)
-  awx, awy = toward(u16[6] < P16(0.6))
+  rwx, rwy = toward(g0 < P10(0.6))
+  c_shoot = (pdist <= 5) & (g1 < P10(0.5))
+  c_approach = (pdist <= 8) & (g2 < P10(0.3))
+  c_walk = g3 < P10(0.2)
+  awx, awy = toward(g4 < P10(0.6))
   appr = ~c_shoot & c_approach
   sox = jnp.where(appr, awx, rdx)
   soy = jnp.where(appr, awy, rdy)
@@ -632,6 +638,14 @@ def _mob_core(cell, M, T, Hp, A, F, px, py, sleeping, seed, plant_idx, cfg):
   # Per-cell target attributes via per-direction shifted planes.
   occ0 = (T > 0) | pending   # the fresh plant's cell counts as occupied
   #                            for every check this tick (objects.py:248)
+  moving = (mvx != 0) | (mvy != 0)  # a (0,0) `toward` never succeeds
+  # Move direction as an index (valid only where `moving`); reused by the
+  # target-attribute loop, the claim pack, and the success pulls.
+  pdir = jnp.where(mvx == -1, 0, jnp.where(mvx == 1, 1,
+                                           jnp.where(mvy == -1, 2, 3)))
+  # Per-direction in-bounds planes: only one coordinate can leave the grid
+  # along a unit step, so one compare each (also the push/pull masks).
+  bound = (x >= 1, x <= w - 2, y >= 1, y <= h - 2)
   # Roll diet: material (bits 0-3) and occupancy (bit 4) travel in ONE
   # pulled plane per direction (8 rolls -> 4).
   q = M | (occ0.astype(jnp.int32) << 4)
@@ -639,26 +653,55 @@ def _mob_core(cell, M, T, Hp, A, F, px, py, sleeping, seed, plant_idx, cfg):
   tocc = jnp.zeros_like(pending)
   inside_t = jnp.zeros_like(pending)
   for d in range(4):
-    dx, dy = DIRS[d]
-    sel = (mvx == dx) & (mvy == dy)
+    sel = moving & (pdir == d)
     qd = pull(q, d)
     tmat = jnp.where(sel, qd & 15, tmat)
     tocc = tocc | (sel & (qd >= 16))
-    nx, ny = x + dx, y + dy
-    inside_t = inside_t | (
-        sel & (nx >= 0) & (nx < w) & (ny >= 0) & (ny < h))
-  moving = (mvx != 0) | (mvy != 0)  # a (0,0) `toward` never succeeds
+    inside_t = inside_t | (sel & bound[d])
   # A cell "targeting itself" (zero move vector) reads its own attributes
   # in the reference; feasibility fails there via the occupancy check.
   tmat = jnp.where(moving, tmat, M)
   tocc = (moving & tocc) | (~moving & occ0)
   inside_t = inside_t | ~moving
 
-  # Arrow impact decisions (objects.py:373-384): hit / despawn / fly.
-  a_hit = is_arrow & active & tocc
-  a_block = (is_arrow & active & ~a_hit
-             & ~_mat_in(tmat, t.walkable_arrow))
-  a_fly = is_arrow & active & ~a_hit & ~a_block
+  # --- arrow impacts (objects.py:373-384): hit / despawn / fly decisions
+  # plus damage at the target cell, applied pre-move so it travels with a
+  # mob that also moves this tick (the round-1 semantics).  Arrows destroy
+  # tables/furnaces into path (objects.py:380-382); the masked select is
+  # idempotent, so several arrows smashing one cell are fine.  Roll diet:
+  # hit-damage (bit 0) and smash (bit 1) travel in ONE pushed plane per
+  # direction (8 -> 4).  The whole section runs under a scalar branch:
+  # arrows are rare, so most 32-env kernel blocks skip the rolls entirely
+  # (the vmapped jnp path turns the cond into a select — same trace).
+  arrow_live = is_arrow & active
+
+  def _arrow_impact(_):
+    a_hit = arrow_live & tocc
+    a_block = arrow_live & ~a_hit & ~_mat_in(tmat, t.walkable_arrow)
+    smash_src = a_block & ((tmat == rules.MAT_TABLE)
+                           | (tmat == rules.MAT_FURNACE))
+    fx = a_hit.astype(jnp.int32) | (smash_src.astype(jnp.int32) << 1)
+    dmg = jnp.zeros_like(M)
+    smash = jnp.zeros_like(pending)
+    for d in range(4):
+      fd = push(jnp.where(F == d, fx, 0), d)
+      dmg = dmg + 2 * (fd & 1)
+      smash = smash | (fd >= 2)
+    return a_hit, a_block, dmg, smash
+
+  def _no_arrows(_):  # kept for the future scf.if gate
+    z = jnp.zeros_like(pending)
+    return z, z, jnp.zeros_like(M), z
+
+  # NOTE: a scalar lax.cond would let a 32-env kernel block skip the rolls
+  # when it holds no arrow, but this Mosaic build cannot legalize scf.if
+  # with results ("failed to legalize operation 'scf.if'"), so the section
+  # runs straight-line.
+  a_hit, a_block, dmg, smash = _arrow_impact(None)
+  a_fly = arrow_live & ~a_hit & ~a_block
+  player_dmg = read_at(dmg, px * h + py)
+  Hp = jnp.maximum(0, Hp - jnp.where(T > rules.E_PLAYER, dmg, 0))
+  M = jnp.where(smash, rules.MAT_PATH, M)
 
   wants = active & ~dying & (
       (is_cow & cow_wants) | is_zom | (is_skel & skel_wants) | a_fly)
@@ -668,25 +711,6 @@ def _mob_core(cell, M, T, Hp, A, F, px, py, sleeping, seed, plant_idx, cfg):
              | (~is_arrow & _mat_in(tmat, t.walkable_mob)))
   feasible = inside_t & walk_ok & ~tocc
   valid = wants & feasible & moving
-
-  # --- arrow impacts: damage at the target cell, applied pre-move so it
-  # travels with a mob that also moves this tick (the round-1 semantics).
-  # Arrows destroy tables/furnaces into path (objects.py:380-382); the
-  # masked select is idempotent, so several arrows smashing one cell are
-  # fine (unlike round 1's summed scatter).  Roll diet: hit-damage (bit 0)
-  # and smash (bit 1) travel in ONE pushed plane per direction (8 -> 4).
-  smash_src = a_block & ((tmat == rules.MAT_TABLE)
-                         | (tmat == rules.MAT_FURNACE))
-  fx = a_hit.astype(jnp.int32) | (smash_src.astype(jnp.int32) << 1)
-  dmg = jnp.zeros_like(M)
-  smash = jnp.zeros_like(pending)
-  for d in range(4):
-    fd = push(jnp.where(F == d, fx, 0), d)
-    dmg = dmg + 2 * (fd & 1)
-    smash = smash | (fd >= 2)
-  player_dmg = read_at(dmg, px * h + py)
-  Hp = jnp.maximum(0, Hp - jnp.where(T > rules.E_PLAYER, dmg, 0))
-  M = jnp.where(smash, rules.MAT_PATH, M)
 
   # --- plants grow before moving planes are built (objects.py:405-407).
   reload = jnp.where(active & is_skel, jnp.maximum(0, A - 1), A)
@@ -700,23 +724,28 @@ def _mob_core(cell, M, T, Hp, A, F, px, py, sleeping, seed, plant_idx, cfg):
   # movers — so 4 bits suffice), move direction (17-18), validity (19).
   # Cuts 8 claim rolls + 16 carry rolls down to 4 pushes + 4 pulls; ties
   # keep the direction-priority order of the reference's claim scan.
-  pdir = jnp.where(mvx == -1, 0, jnp.where(mvx == 1, 1,
-                                           jnp.where(mvy == -1, 2, 3)))
   pk = (T | (F << 3) | (Hp << 5) | ((A & 15) << 13) | (pdir << 17)
         | (valid.astype(jnp.int32) << 19))
-  taken = jnp.zeros_like(pending)
-  success = jnp.zeros_like(pending)
-  T1, H1, A1, F1 = T, Hp, A, F
+  # Priority-select the winning packed word first, decode it ONCE (the
+  # round-2 loop decoded all four candidate words: 3x the field
+  # extractions for the same result).  Ties keep the direction-priority
+  # order of the reference's claim scan: the first d whose claim lands
+  # wins, and a won word is never overwritten (wwin == 0 guard).
+  wwin = jnp.zeros_like(pk)
   for d in range(4):
     pd = push(pk, d)
-    win_d = (pd >= (1 << 19)) & ((_srl(pd, 17) & 3) == d) & ~taken
-    taken = taken | win_d
-    T1 = jnp.where(win_d, pd & 7, T1)
-    F1 = jnp.where(win_d, _srl(pd, 3) & 3, F1)
-    H1 = jnp.where(win_d, _srl(pd, 5) & 255, H1)
-    A1 = jnp.where(win_d, _srl(pd, 13) & 15, A1)
-    mover_d = valid & (mvx == DIRS[d][0]) & (mvy == DIRS[d][1])
-    success = success | (pull(win_d, d) & mover_d)
+    ok = (pd >= (1 << 19)) & ((_srl(pd, 17) & 3) == d)
+    wwin = jnp.where(ok & (wwin == 0), pd, wwin)
+  taken = wwin > 0
+  T1 = jnp.where(taken, wwin & 7, T)
+  F1 = jnp.where(taken, _srl(wwin, 3) & 3, F)
+  H1 = jnp.where(taken, _srl(wwin, 5) & 255, Hp)
+  A1 = jnp.where(taken, _srl(wwin, 13) & 15, A)
+  wdir = _srl(wwin, 17) & 3
+  success = jnp.zeros_like(pending)
+  for d in range(4):
+    success = success | (pull(taken & (wdir == d), d)
+                         & valid & (pdir == d))
   # Vacated cells empty out; a claim target was empty pre-move (tocc), so
   # no cell is both a winner and a successful mover.
   T1 = jnp.where(success, 0, T1)
@@ -761,19 +790,25 @@ def _mob_core(cell, M, T, Hp, A, F, px, py, sleeping, seed, plant_idx, cfg):
 
   # --- arrow spawns (objects.py:344-351): the target cell must be free
   # *post-move* and arrow-walkable; reload resets only on a real shot.
-  spawn_free = (T1 == 0) & ~pending & _mat_in(M, t.walkable_arrow)
-  arrow_ok_src = jnp.zeros_like(pending)
-  staken = jnp.zeros_like(pending)
-  for d in range(4):
-    spawn_d = shoot & (shvx == DIRS[d][0]) & (shvy == DIRS[d][1])
-    win_d = push(spawn_d, d) & spawn_free & ~staken
-    staken = staken | win_d
-    T1 = jnp.where(win_d, rules.E_ARROW, T1)
-    H1 = jnp.where(win_d, 0, H1)
-    A1 = jnp.where(win_d, 0, A1)
-    F1 = jnp.where(win_d, d, F1)
-    arrow_ok_src = arrow_ok_src | (pull(win_d, d) & spawn_d)
-  A1 = jnp.where(arrow_ok_src, 4, A1)  # shooter reloads
+  # Scalar-gated like the impact section: most blocks have no shooter.
+  def _arrow_spawn(ops):
+    T1, H1, A1, F1 = ops
+    spawn_free = (T1 == 0) & ~pending & _mat_in(M, t.walkable_arrow)
+    arrow_ok_src = jnp.zeros_like(pending)
+    staken = jnp.zeros_like(pending)
+    for d in range(4):
+      spawn_d = shoot & (shvx == DIRS[d][0]) & (shvy == DIRS[d][1])
+      win_d = push(spawn_d, d) & spawn_free & ~staken
+      staken = staken | win_d
+      T1 = jnp.where(win_d, rules.E_ARROW, T1)
+      H1 = jnp.where(win_d, 0, H1)
+      A1 = jnp.where(win_d, 0, A1)
+      F1 = jnp.where(win_d, d, F1)
+      arrow_ok_src = arrow_ok_src | (pull(win_d, d) & spawn_d)
+    A1 = jnp.where(arrow_ok_src, 4, A1)  # shooter reloads
+    return T1, H1, A1, F1
+
+  T1, H1, A1, F1 = _arrow_spawn((T1, H1, A1, F1))  # see scf.if note above
 
   return M, T1, H1, A1, F1, player_dmg
 
@@ -853,14 +888,23 @@ def _chunk_reduce(grid: jax.Array, cfg: EnvConfig, fill, op) -> jax.Array:
   first ((ncx*csx, H) -> (ncx, H), minor dim H), then columns on the tiny
   remainder.  A single (ncx, csx, ncy, csy) view would make every
   intermediate 12 lanes wide — a ~10x vector-unit waste per op that
-  dominated the phase.
+  dominated the phase.  The partial last chunk (64 = 5*12 + 4) reduces
+  separately instead of padding to ncx*csx: the pad materialized a fresh
+  (N, 72, 64) plane per reduction, ~0.2 ms each at 4096 envs (``fill`` is
+  kept for API compatibility; only the neutral element of ``op`` is ever
+  passed).
   """
+  del fill
   (csx, csy), (ncx, ncy) = cfg.chunk_size, cfg.n_chunks
   w, h = grid.shape
-  rows = jnp.full((ncx * csx, h), fill, grid.dtype).at[:w].set(grid)
-  rows = op(rows.reshape(ncx, csx, h), axis=1)           # (ncx, h)
-  cols = jnp.full((ncx, ncy * csy), fill, grid.dtype).at[:, :h].set(rows)
-  return op(cols.reshape(ncx, ncy, csy), axis=2)         # (ncx, ncy)
+  wf, hf = w // csx * csx, h // csy * csy
+  rows = op(grid[:wf].reshape(wf // csx, csx, h), axis=1)  # (full, h)
+  if wf < w:
+    rows = jnp.concatenate([rows, op(grid[wf:], axis=0)[None]], 0)
+  cols = op(rows[:, :hf].reshape(ncx, hf // csy, csy), axis=2)
+  if hf < h:
+    cols = jnp.concatenate([cols, op(rows[:, hf:], axis=1)[:, None]], 1)
+  return cols                                              # (ncx, ncy)
 
 
 def _balance_phase(state: State, seed: jax.Array, cfg: EnvConfig):
@@ -914,8 +958,14 @@ def _balance_phase(state: State, seed: jax.Array, cfg: EnvConfig):
         touched & ~ws & (counts[i] > jnp.trunc(tmax[i]).astype(jnp.int32))
         & (gate[..., i, 1] < BAL_DESPAWN_P[i]))
 
-  # Unique-within-chunk random scores: random high bits, cell rank low bits.
-  rank = ((x % csx) * csy + y % csy).astype(jnp.int32)  # < csx*csy <= 4096
+  # Unique-within-chunk random scores: 16 random high bits, cell rank low
+  # bits.  24-bit scores are exact in float32, which lets the Pallas twin
+  # (`_balance_core`) extract and broadcast per-chunk maxima with MXU
+  # matmuls; the rank tiebreak keeps the winner unique.  With 16 random
+  # bits over <=144 members, two members share the top value ~0.2% of the
+  # time (the tie then leans to the higher rank) — far below what any
+  # distribution test resolves.
+  rank = ((x % csx) * csy + y % csy).astype(jnp.int32)  # < csx*csy <= 144
 
   def chunk_rows(vals):
     """(ncx, ncy) per-chunk values -> (ncx, H) row-replicated (tiny)."""
@@ -930,8 +980,8 @@ def _balance_phase(state: State, seed: jax.Array, cfg: EnvConfig):
     virtual inside the fused compare (a materialized (W, H) int32
     broadcast per pick cost ~0.8 ms/tick at 4096 envs).
     """
-    bits = _srl(_cell_bits(seed, chan, w, h), 13)
-    score = jnp.where(member, (bits << 12) | rank, -1)
+    bits = _srl(_cell_bits(seed, chan, w, h), 16)
+    score = jnp.where(member, (bits << 8) | rank, -1)
     sp = jnp.full((ncx * csx, h), -1, score.dtype).at[:w].set(score)
     sp3 = sp.reshape(ncx, csx, h)
     rmax = jnp.max(sp3, 1)                                  # (ncx, H)
@@ -972,6 +1022,207 @@ def _apply_balance(state: State, despawn: jax.Array, spawn_masks,
                           health=Hp.astype(state.ent.health.dtype),
                           aux=A.astype(state.ent.aux.dtype))
   return state.replace(ent=ent)
+
+
+def _chunk_tables(cfg: EnvConfig):
+  """Static cell->chunk one-hot matrices for MXU chunk reductions.
+
+  Returns ``(onehot, headhot)`` float32 (C, NCH): ``onehot[c, k]`` is 1 iff
+  cell c lies in chunk k; ``headhot`` restricts that to each chunk's head
+  cell (minimal x, y), so ``score @ headhot`` extracts the head's value.
+  """
+  w, h = cfg.area
+  (csx, csy), (ncx, ncy) = cfg.chunk_size, cfg.n_chunks
+  xs, ys = np.divmod(np.arange(w * h), h)
+  ch = (xs // csx) * ncy + ys // csy
+  onehot = np.zeros((w * h, ncx * ncy), np.float32)
+  onehot[np.arange(w * h), ch] = 1.0
+  head = (xs % csx == 0) & (ys % csy == 0)
+  return onehot, onehot * head[:, None]
+
+
+def _balance_core(cell, M, T, Hp, A, occ, touched, light, px, py, seed,
+                  onehot, headhot, cfg):
+  """Chunk balancing (env.py:141-179) on flat cell planes — backend-shared.
+
+  The plane-domain twin of `_balance_phase` + `_apply_balance` + the
+  chunk_touched bookkeeping of `balance_group_finish`: bit-identical
+  results (same gate hashes, same pick scores, exact per-chunk maxima),
+  but every intermediate lives in the caller's domain — inside the Pallas
+  kernel that means VMEM, where the XLA phase materialized ~30 (N, W, H)
+  intermediates to HBM (~3.3 ms per pass at 4096 envs, profiled).
+
+  Two plane<->chunk primitives replace the reference's per-chunk Python
+  loop (env.py:157-179):
+
+  * chunk reductions (counts, occupancy) ride the MXU as one-hot matmuls
+    against the static (C, NCH) cell->chunk matrix — sums are exact in
+    float32 (counts <= 144, scores < 2^24);
+  * the per-chunk argmax of `pick` runs as a segmented suffix-max (4
+    log-step shifted maxima per axis, chunk boundaries masked), leaving
+    each chunk's maximum at its head cell; head extraction and the
+    chunk->cell re-broadcast are again one-hot matmuls.
+
+  ``touched``: (.., NCH) int32 0/1 chunk lanes.  ``occ``: int32 plane of
+  extra occupancy to fold into touched before balancing (the group path's
+  OR of intermediate ticks; zeros otherwise).  ``light``: (.., 1) float32.
+  ``onehot``/``headhot``: the `_chunk_tables` matrices (kernel inputs —
+  Pallas cannot capture large constants).  Returns ``(T', Hp', A',
+  touched')``.
+  """
+  w, h = cfg.area
+  (csx, csy), (ncx, ncy) = cfg.chunk_size, cfg.n_chunks
+  x = cell // h
+  y = cell % h
+  f32 = jnp.float32
+
+  # Precision.HIGHEST (bf16x3+ passes) keeps integer operands <= 2^24
+  # exact through the MXU; the TPU default single bf16 pass rounds the
+  # 24-bit pick scores.  (The bf16x3 split of a float32 is exact — 3x8
+  # mantissa bits — and every product here is value*{0,1}.)
+  hi = jax.lax.Precision.HIGHEST
+
+  def csum(plane):                                    # (.., C) -> (.., NCH)
+    return jnp.dot(plane.astype(f32), onehot, precision=hi)
+
+  def bcast(lanes):                                   # (.., NCH) -> (.., C)
+    return jnp.dot(lanes.astype(f32), onehot.T, precision=hi)
+
+  touched = (touched != 0) | (csum(occ != 0) > 0)
+
+  counts = [csum(T == e).astype(jnp.int32) for e in BAL_CLASSES]
+  grass_n = csum(M == rules.MAT_GRASS).astype(jnp.int32)
+  path_n = csum(M == rules.MAT_PATH).astype(jnp.int32)
+
+  # Spawn/despawn targets and gate draws: the same arithmetic (and the
+  # same counter-hash stream) as `_balance_phase`, on (.., NCH) lanes.
+  zero = jnp.zeros_like(light)
+  tmin = [jnp.where(grass_n < 50, zero, 3.5 - 3 * light),
+          jnp.where(path_n < 6, zero, zero + 1.0),
+          jnp.where(grass_n < 30, zero, zero + 1.0)]
+  tmax = [zero + (3.5 - 3 * light), zero + 2.0, zero + (1.5 + light)]
+  gl = _lane_iota(ncx * ncy, touched.astype(jnp.int32))
+
+  def gate(i, side):
+    v = seed + _i32c(0x27D4EB2F) * (gl * 6 + (i * 2 + side + 1))
+    return _srl(_fmix(_fmix(v)), 8).astype(f32) * (1.0 / (1 << 24))
+
+  want_spawn, want_despawn = [], []
+  for i in range(len(BAL_CLASSES)):
+    ws = (touched & (counts[i] < tmin[i].astype(jnp.int32))
+          & (gate(i, 0) < BAL_SPAWN_P[i]))
+    want_spawn.append(ws)
+    want_despawn.append(
+        touched & ~ws & (counts[i] > tmax[i].astype(jnp.int32))
+        & (gate(i, 1) < BAL_DESPAWN_P[i]))
+
+  rank = (x % csx) * csy + y % csy
+  neg1 = jnp.int32(-1)
+
+  def chunk_max(score):
+    """Per-chunk max, re-broadcast per cell (exact: 24-bit scores)."""
+    for s in (1, 2, 4, 8):                  # y-axis: suffix max to y-heads
+      ok = ((y % csy) + s < csy) & (y + s < h)
+      score = jnp.maximum(score,
+                          jnp.where(ok, jnp.roll(score, -s, axis=-1), neg1))
+    for s in (1, 2, 4, 8):                  # x-axis: suffix max to heads
+      ok = ((x % csx) + s < csx) & (x + s < w)
+      score = jnp.maximum(
+          score, jnp.where(ok, jnp.roll(score, -s * h, axis=-1), neg1))
+    mx = jnp.dot(score.astype(f32), headhot, precision=hi)
+    return bcast(mx).astype(jnp.int32)
+
+  def pick(member, chan, want):
+    bits = _srl(_cell_bits_plane(seed, chan, x, y), 16)
+    score = jnp.where(member, (bits << 8) | rank, neg1)
+    return (score == chunk_max(score)) & (score >= 0) & (bcast(want) > 0)
+
+  pdist = jnp.abs(x - px) + jnp.abs(y - py)
+  despawn = jnp.zeros(cell.shape, bool)
+  for i, etype in enumerate(BAL_CLASSES):
+    despawn = despawn | (pick(T == etype, 8 + i, want_despawn[i])
+                         & (pdist >= BAL_DESPAN[i]))
+  T1 = jnp.where(despawn & (T > rules.E_PLAYER), 0, T)
+  Hp1, A1 = Hp, A
+  for i, etype in enumerate(BAL_CLASSES):
+    ok = (pick(M == BAL_MATERIAL[i], 11 + i, want_spawn[i])
+          & (pdist >= BAL_SPAN[i]) & (T1 == 0))
+    T1 = jnp.where(ok, etype, T1)
+    Hp1 = jnp.where(ok, TYPE_HEALTH[etype], Hp1)
+    A1 = jnp.where(ok, 0, A1)
+
+  touched = touched | (csum(T1 > 0) > 0)
+  return T1, Hp1, A1, touched.astype(jnp.int32)
+
+
+def _balance_pallas(states: State, seeds: jax.Array, occ_pre: jax.Array,
+                    cfg: EnvConfig, block: int = 32) -> State:
+  """Batched group-end balance as ONE Pallas kernel (see `_balance_core`).
+
+  The TPU twin of ``vmap(balance_group_finish)``: bit-identical results
+  (TestGroupKernel asserts the whole group path leaf-for-leaf against the
+  sequential jnp path).  ``occ_pre``: (N, C) occupancy OR of the group's
+  intermediate ticks.
+  """
+  from jax.experimental import pallas as pl
+  from jax.experimental.pallas import tpu as pltpu
+
+  w, h = cfg.area
+  (ncx, ncy) = cfg.n_chunks
+  nch = ncx * ncy
+  c = w * h
+  n = states.step.shape[0]
+  col = lambda s: jnp.asarray(s).astype(jnp.int32).reshape(-1, 1)
+  light = state_lib.daylight(states.step, cfg.day_length).reshape(-1, 1)
+  ins = [states.mat_map, states.ent.etype, states.ent.health,
+         states.ent.aux, occ_pre,
+         states.chunk_touched.reshape(n, nch).astype(jnp.int32),
+         light.astype(jnp.float32),
+         col(states.player.pos[..., 0]), col(states.player.pos[..., 1]),
+         col(seeds)]
+  pad = (-n) % block
+  if pad:
+    ins = [jnp.concatenate(
+        [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]) for a in ins]
+  np_ = n + pad
+  onehot, headhot = (jnp.asarray(m) for m in _chunk_tables(cfg))
+
+  def kernel(m_ref, t_ref, h_ref, a_ref, occ_ref, tc_ref, li_ref, px_ref,
+             py_ref, sd_ref, oh_ref, hh_ref, ot, oh, oa, otc):
+    cell = jax.lax.broadcasted_iota(jnp.int32, (block, c), 1)
+    i32 = lambda r: r[...].astype(jnp.int32)
+    T1, H1, A1, tc1 = _balance_core(
+        cell, i32(m_ref), i32(t_ref), i32(h_ref), i32(a_ref), i32(occ_ref),
+        tc_ref[...], li_ref[...], px_ref[...], py_ref[...], sd_ref[...],
+        oh_ref[...], hh_ref[...], cfg)
+    ot[...] = T1.astype(ot.dtype)
+    oh[...] = H1.astype(oh.dtype)
+    oa[...] = A1.astype(oa.dtype)
+    otc[...] = tc1
+
+  plane = lambda dt: jax.ShapeDtypeStruct((np_, c), dt)
+  spec = lambda width: pl.BlockSpec((block, width), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)
+  # The chunk tables are shared by every block (index map pins them).
+  tspec = pl.BlockSpec((c, nch), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM)
+  outs = pl.pallas_call(
+      kernel,
+      grid=(np_ // block,),
+      in_specs=([spec(c)] * 5 + [spec(nch)] + [spec(1)] * 4 + [tspec] * 2),
+      out_specs=[spec(c)] * 3 + [spec(nch)],
+      out_shape=[plane(states.ent.etype.dtype),
+                 plane(states.ent.health.dtype),
+                 plane(states.ent.aux.dtype),
+                 jax.ShapeDtypeStruct((np_, nch), jnp.int32)],
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=100 * 1024 * 1024),
+      interpret=jax.default_backend() != 'tpu',  # CPU: test/debug mode
+  )(*ins, onehot, headhot)
+  T1, H1, A1, tc1 = (o[:n] for o in outs)
+  return states.replace(
+      ent=states.ent.replace(etype=T1, health=H1, aux=A1),
+      chunk_touched=tc1.reshape(n, ncx, ncy) != 0)
 
 
 # ---------------------------------------------------------------------------

@@ -161,10 +161,12 @@ class TestVecEnv:
 
   def test_vec_step_k_matches_static_unroll(self):
     """vec_step_k == K sequential vec_step calls with static balance flags
-    (balance on the group's last tick), leaf for leaf."""
+    (balance on the group's last tick), leaf for leaf.  balance_every=4:
+    the equivalence is K-agnostic and the default K=10 unrolled engine
+    program takes tens of minutes of XLA CPU compile."""
     from crafter_tpu.env import home_keys, vec_reset, vec_step, vec_step_k
     import jax
-    cfg = EnvConfig(length=25)
+    cfg = EnvConfig(length=25, balance_every=4)
     n, k = 8, cfg.balance_every
     vs0 = jax.jit(vec_reset, static_argnums=1)(home_keys(3, n), cfg)
     actions = np.asarray(
@@ -189,6 +191,8 @@ class TestVecEnv:
       assert (got.reward == want.reward).all()
       assert (got.done == want.done).all()
     for la, lb in zip(jax.tree.leaves(va), jax.tree.leaves(vb)):
+      if jax.dtypes.issubdtype(la.dtype, jax.dtypes.prng_key):
+        la, lb = jax.random.key_data(la), jax.random.key_data(lb)
       assert (np.asarray(la) == np.asarray(lb)).all()
 
   def test_vec_step_k_matches_dynamic_cadence(self):
@@ -196,10 +200,11 @@ class TestVecEnv:
     == K ticks of the original balance=None lax.cond path: the dynamic
     cadence fires on the group's last tick (tick % K == 0), exactly where
     the static unroll places it.  Guards the equivalence bench.py and
-    profile_summary.py rely on."""
+    profile_summary.py rely on.  balance_every=4 for compile time (see
+    test_vec_step_k_matches_static_unroll)."""
     from crafter_tpu.env import home_keys, vec_reset, vec_step, vec_step_k
     import jax
-    cfg = EnvConfig(length=25)
+    cfg = EnvConfig(length=25, balance_every=4)
     n, k = 8, cfg.balance_every
     vs0 = jax.jit(vec_reset, static_argnums=1)(home_keys(5, n), cfg)
     assert int(vs0.tick) == 0
@@ -217,6 +222,8 @@ class TestVecEnv:
             lambda x: x[i], outs)), jax.tree.leaves(out)):
           assert (np.asarray(ga) == np.asarray(gb)).all()
     for la, lb in zip(jax.tree.leaves(va), jax.tree.leaves(vb)):
+      if jax.dtypes.issubdtype(la.dtype, jax.dtypes.prng_key):
+        la, lb = jax.random.key_data(la), jax.random.key_data(lb)
       assert (np.asarray(la) == np.asarray(lb)).all()
 
   def test_obs_batch_shape_and_reward(self):

@@ -524,3 +524,44 @@ class TestPallasEngine:
           err_msg=jax.tree_util.keystr(path))
     np.testing.assert_array_equal(np.asarray(oa.reward), np.asarray(ob.reward))
     np.testing.assert_array_equal(np.asarray(oa.done), np.asarray(ob.done))
+
+
+class TestBalancePallas:
+  def test_balance_pallas_matches_group_finish(self):
+    """The batched balance kernel (interpret mode off-TPU) is bit-identical
+    to vmap(balance_group_finish) — same gate hashes, same pick scores,
+    exact per-chunk maxima through the MXU matmuls.  Batch of 13 exercises
+    the block-padding path; the injected occupancy plane exercises the
+    group-entry chunk_touched OR."""
+    from crafter_tpu.env import home_keys, vec_reset, vec_step
+
+    n = 13
+    cfg = CFG
+    vs = jax.jit(vec_reset, static_argnums=1)(home_keys(4, n), cfg)
+    stepf = jax.jit(lambda v, a: vec_step(v, a, cfg, 4, balance=False))
+    key = jax.random.key(0)
+    for _ in range(6):   # populate mobs / touched chunks
+      key, ka = jax.random.split(key)
+      vs, _, _ = stepf(vs, jax.random.randint(ka, (n,), 0, 17))
+    env = vs.env
+    s_bal = jax.vmap(lambda k, s: step_lib._tick_seeds(k, s)[2])(
+        env.key, env.step)
+    occ = jax.random.bernoulli(
+        jax.random.key(9), 0.2, env.mat_map.shape).astype(jnp.uint8)
+
+    ref = jax.jit(lambda e, s, o: jax.vmap(
+        lambda ee, ss, oo: step_lib.balance_group_finish(ee, ss, oo, cfg))(
+            e, s, o))(env, s_bal, occ)
+    got = jax.jit(lambda e, s, o: step_lib._balance_pallas(e, s, o, cfg))(
+        env, s_bal, occ)
+
+    # The pass must actually do something for the comparison to have teeth.
+    assert (np.asarray(ref.ent.etype) != np.asarray(env.ent.etype)).sum() > 0
+    flat_r = jax.tree_util.tree_flatten_with_path(ref)[0]
+    flat_g = jax.tree.leaves(got)
+    for (path, x), y in zip(flat_r, flat_g):
+      if jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key):
+        x, y = jax.random.key_data(x), jax.random.key_data(y)
+      np.testing.assert_array_equal(
+          np.asarray(x), np.asarray(y),
+          err_msg=jax.tree_util.keystr(path))

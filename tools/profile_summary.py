@@ -23,7 +23,8 @@ import glob
 import json
 
 
-def capture(num_envs: int, iters: int, trace_dir: str) -> int:
+def capture(num_envs: int, iters: int, trace_dir: str,
+            group: bool = False) -> int:
   """Runs the traced loop; returns the number of ticks actually executed
   (iters rounded down to whole balance-cadence groups), which summarize()
   must use as the per-iteration normalizer."""
@@ -33,7 +34,8 @@ def capture(num_envs: int, iters: int, trace_dir: str) -> int:
   import jax
   import jax.numpy as jnp
   from crafter_tpu.config import EnvConfig
-  from crafter_tpu.env import home_keys, vec_reset_chunked, vec_step
+  from crafter_tpu.env import (home_keys, vec_reset_chunked, vec_step,
+                               vec_step_group)
 
   cfg = EnvConfig(reward=False)
   n = num_envs
@@ -41,7 +43,8 @@ def capture(num_envs: int, iters: int, trace_dir: str) -> int:
   rb = max(32, n // 128)
 
   # Mirror bench.py's loop: one balance-cadence group per scan iteration,
-  # balance as a static branch on the group's last tick.
+  # balance as a static branch on the group's last tick (``--group``: the
+  # whole group as one fused kernel, bench.py's state-only path).
   kk = cfg.balance_every
 
   groups = max(iters // kk, 1)
@@ -52,8 +55,11 @@ def capture(num_envs: int, iters: int, trace_dir: str) -> int:
       v, key = carry
       key, k = jax.random.split(key)
       a = jax.random.randint(k, (kk, n), 0, 17)
-      for i in range(kk):
-        v, out, _ = vec_step(v, a[i], cfg, rb, balance=(i == kk - 1))
+      if group:
+        v, _outs = vec_step_group(v, a, cfg, min(n, kk * rb))
+      else:
+        for i in range(kk):
+          v, out, _ = vec_step(v, a[i], cfg, rb, balance=(i == kk - 1))
       return (v, key), ()
     (v, key), _ = jax.lax.scan(body, (v, key), None, length=groups)
     return v
@@ -101,11 +107,13 @@ def main():
   parser.add_argument('--trace', type=str, default=None,
                       help='reparse an existing trace dir instead of running')
   parser.add_argument('--top', type=int, default=20)
+  parser.add_argument('--group', action='store_true',
+                      help='profile the fused group-kernel path')
   args = parser.parse_args()
   trace_dir = args.trace or '/tmp/crafter_trace'
   ticks = args.iters
   if not args.trace:
-    ticks = capture(args.num_envs, args.iters, trace_dir)
+    ticks = capture(args.num_envs, args.iters, trace_dir, args.group)
   summarize(trace_dir, ticks, args.top)
 
 
