@@ -1025,11 +1025,10 @@ def _apply_balance(state: State, despawn: jax.Array, spawn_masks,
 
 
 def _chunk_tables(cfg: EnvConfig):
-  """Static cell->chunk one-hot matrices for MXU chunk reductions.
+  """Static cell->chunk one-hot matrix for MXU chunk reductions.
 
-  Returns ``(onehot, headhot)`` float32 (C, NCH): ``onehot[c, k]`` is 1 iff
-  cell c lies in chunk k; ``headhot`` restricts that to each chunk's head
-  cell (minimal x, y), so ``score @ headhot`` extracts the head's value.
+  Returns ``onehot`` float32 (C, NCH): ``onehot[c, k]`` is 1 iff cell c
+  lies in chunk k.
   """
   w, h = cfg.area
   (csx, csy), (ncx, ncy) = cfg.chunk_size, cfg.n_chunks
@@ -1037,12 +1036,11 @@ def _chunk_tables(cfg: EnvConfig):
   ch = (xs // csx) * ncy + ys // csy
   onehot = np.zeros((w * h, ncx * ncy), np.float32)
   onehot[np.arange(w * h), ch] = 1.0
-  head = (xs % csx == 0) & (ys % csy == 0)
-  return onehot, onehot * head[:, None]
+  return onehot
 
 
 def _balance_core(cell, M, T, Hp, A, occ, touched, light, px, py, seed,
-                  onehot, headhot, cfg):
+                  onehot, cfg):
   """Chunk balancing (env.py:141-179) on flat cell planes — backend-shared.
 
   The plane-domain twin of `_balance_phase` + `_apply_balance` + the
@@ -1056,19 +1054,22 @@ def _balance_core(cell, M, T, Hp, A, occ, touched, light, px, py, seed,
   loop (env.py:157-179):
 
   * chunk reductions (counts, occupancy) ride the MXU as one-hot matmuls
-    against the static (C, NCH) cell->chunk matrix — sums are exact in
-    float32 (counts <= 144, scores < 2^24);
+    against the static (C, NCH) cell->chunk matrix — single-pass bf16 is
+    exact here because every operand is {0, 1} and the MXU accumulates in
+    float32 (the round-2 kernel ran these and the re-broadcasts at
+    Precision.HIGHEST, a multi-pass mode that made the balance launch
+    ~4.5 ms; the whole pass is now ~matmul-free on the exactness side);
   * the per-chunk argmax of `pick` runs as a segmented suffix-max (4
     log-step shifted maxima per axis, chunk boundaries masked), leaving
-    each chunk's maximum at its head cell; head extraction and the
-    chunk->cell re-broadcast are again one-hot matmuls.
+    each chunk's maximum at its head cell, then a segmented log-step
+    head broadcast (4 shifted selects per axis) carries it back to every
+    cell — pure int32 lane ops, exact for the 24-bit scores, no MXU.
 
   ``touched``: (.., NCH) int32 0/1 chunk lanes.  ``occ``: int32 plane of
   extra occupancy to fold into touched before balancing (the group path's
   OR of intermediate ticks; zeros otherwise).  ``light``: (.., 1) float32.
-  ``onehot``/``headhot``: the `_chunk_tables` matrices (kernel inputs —
-  Pallas cannot capture large constants).  Returns ``(T', Hp', A',
-  touched')``.
+  ``onehot``: the `_chunk_tables` matrix (a kernel input — Pallas cannot
+  capture large constants).  Returns ``(T', Hp', A', touched')``.
   """
   w, h = cfg.area
   (csx, csy), (ncx, ncy) = cfg.chunk_size, cfg.n_chunks
@@ -1076,17 +1077,13 @@ def _balance_core(cell, M, T, Hp, A, occ, touched, light, px, py, seed,
   y = cell % h
   f32 = jnp.float32
 
-  # Precision.HIGHEST (bf16x3+ passes) keeps integer operands <= 2^24
-  # exact through the MXU; the TPU default single bf16 pass rounds the
-  # 24-bit pick scores.  (The bf16x3 split of a float32 is exact — 3x8
-  # mantissa bits — and every product here is value*{0,1}.)
-  hi = jax.lax.Precision.HIGHEST
-
   def csum(plane):                                    # (.., C) -> (.., NCH)
-    return jnp.dot(plane.astype(f32), onehot, precision=hi)
+    # Exact at default (single-pass bf16) precision: operands are {0, 1}.
+    return jnp.dot(plane.astype(f32), onehot)
 
   def bcast(lanes):                                   # (.., NCH) -> (.., C)
-    return jnp.dot(lanes.astype(f32), onehot.T, precision=hi)
+    # Exact for integer lane values < 2^8 (bf16 mantissa) times {0, 1}.
+    return jnp.dot(lanes.astype(f32), onehot.T)
 
   touched = (touched != 0) | (csum(occ != 0) > 0)
 
@@ -1116,36 +1113,55 @@ def _balance_core(cell, M, T, Hp, A, occ, touched, light, px, py, seed,
         touched & ~ws & (counts[i] > tmax[i].astype(jnp.int32))
         & (gate(i, 1) < BAL_DESPAWN_P[i]))
 
+  # All six per-chunk want bits ride to the cell domain in ONE broadcast
+  # (packed values <= 63, exact in bf16) instead of one matmul per pick.
+  wantbits = jnp.zeros_like(touched, jnp.int32)
+  for i in range(len(BAL_CLASSES)):
+    wantbits = (wantbits | want_despawn[i].astype(jnp.int32) << i
+                | want_spawn[i].astype(jnp.int32) << (3 + i))
+  wantcell = bcast(wantbits).astype(jnp.int32)
+
   rank = (x % csx) * csy + y % csy
   neg1 = jnp.int32(-1)
+  ox, oy = x % csx, y % csy
 
   def chunk_max(score):
-    """Per-chunk max, re-broadcast per cell (exact: 24-bit scores)."""
+    """Per-chunk max, re-broadcast per cell (exact: 24-bit scores).
+
+    Suffix-max leaves the chunk max at the head cell (ox == oy == 0);
+    the head broadcast then carries it back with in-chunk log-step
+    shifted selects (source `off - s >= 0` stays in the chunk, and the
+    doubling order guarantees the source already holds the head value).
+    """
     for s in (1, 2, 4, 8):                  # y-axis: suffix max to y-heads
-      ok = ((y % csy) + s < csy) & (y + s < h)
+      ok = (oy + s < csy) & (y + s < h)
       score = jnp.maximum(score,
                           jnp.where(ok, jnp.roll(score, -s, axis=-1), neg1))
     for s in (1, 2, 4, 8):                  # x-axis: suffix max to heads
-      ok = ((x % csx) + s < csx) & (x + s < w)
+      ok = (ox + s < csx) & (x + s < w)
       score = jnp.maximum(
           score, jnp.where(ok, jnp.roll(score, -s * h, axis=-1), neg1))
-    mx = jnp.dot(score.astype(f32), headhot, precision=hi)
-    return bcast(mx).astype(jnp.int32)
+    for s in (1, 2, 4, 8):                  # head -> chunk, x then y
+      score = jnp.where(ox >= s, jnp.roll(score, s * h, axis=-1), score)
+    for s in (1, 2, 4, 8):
+      score = jnp.where(oy >= s, jnp.roll(score, s, axis=-1), score)
+    return score
 
-  def pick(member, chan, want):
+  def pick(member, chan, wbit):
     bits = _srl(_cell_bits_plane(seed, chan, x, y), 16)
     score = jnp.where(member, (bits << 8) | rank, neg1)
-    return (score == chunk_max(score)) & (score >= 0) & (bcast(want) > 0)
+    return ((score == chunk_max(score)) & (score >= 0)
+            & ((_srl(wantcell, wbit) & 1) > 0))
 
   pdist = jnp.abs(x - px) + jnp.abs(y - py)
   despawn = jnp.zeros(cell.shape, bool)
   for i, etype in enumerate(BAL_CLASSES):
-    despawn = despawn | (pick(T == etype, 8 + i, want_despawn[i])
+    despawn = despawn | (pick(T == etype, 8 + i, i)
                          & (pdist >= BAL_DESPAN[i]))
   T1 = jnp.where(despawn & (T > rules.E_PLAYER), 0, T)
   Hp1, A1 = Hp, A
   for i, etype in enumerate(BAL_CLASSES):
-    ok = (pick(M == BAL_MATERIAL[i], 11 + i, want_spawn[i])
+    ok = (pick(M == BAL_MATERIAL[i], 11 + i, 3 + i)
           & (pdist >= BAL_SPAN[i]) & (T1 == 0))
     T1 = jnp.where(ok, etype, T1)
     Hp1 = jnp.where(ok, TYPE_HEALTH[etype], Hp1)
@@ -1185,16 +1201,16 @@ def _balance_pallas(states: State, seeds: jax.Array, occ_pre: jax.Array,
     ins = [jnp.concatenate(
         [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]) for a in ins]
   np_ = n + pad
-  onehot, headhot = (jnp.asarray(m) for m in _chunk_tables(cfg))
+  onehot = jnp.asarray(_chunk_tables(cfg))
 
   def kernel(m_ref, t_ref, h_ref, a_ref, occ_ref, tc_ref, li_ref, px_ref,
-             py_ref, sd_ref, oh_ref, hh_ref, ot, oh, oa, otc):
+             py_ref, sd_ref, oh_ref, ot, oh, oa, otc):
     cell = jax.lax.broadcasted_iota(jnp.int32, (block, c), 1)
     i32 = lambda r: r[...].astype(jnp.int32)
     T1, H1, A1, tc1 = _balance_core(
         cell, i32(m_ref), i32(t_ref), i32(h_ref), i32(a_ref), i32(occ_ref),
         tc_ref[...], li_ref[...], px_ref[...], py_ref[...], sd_ref[...],
-        oh_ref[...], hh_ref[...], cfg)
+        oh_ref[...], cfg)
     ot[...] = T1.astype(ot.dtype)
     oh[...] = H1.astype(oh.dtype)
     oa[...] = A1.astype(oa.dtype)
@@ -1209,7 +1225,7 @@ def _balance_pallas(states: State, seeds: jax.Array, occ_pre: jax.Array,
   outs = pl.pallas_call(
       kernel,
       grid=(np_ // block,),
-      in_specs=([spec(c)] * 5 + [spec(nch)] + [spec(1)] * 4 + [tspec] * 2),
+      in_specs=([spec(c)] * 5 + [spec(nch)] + [spec(1)] * 4 + [tspec]),
       out_specs=[spec(c)] * 3 + [spec(nch)],
       out_shape=[plane(states.ent.etype.dtype),
                  plane(states.ent.health.dtype),
@@ -1218,7 +1234,7 @@ def _balance_pallas(states: State, seeds: jax.Array, occ_pre: jax.Array,
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=100 * 1024 * 1024),
       interpret=jax.default_backend() != 'tpu',  # CPU: test/debug mode
-  )(*ins, onehot, headhot)
+  )(*ins, onehot)
   T1, H1, A1, tc1 = (o[:n] for o in outs)
   return states.replace(
       ent=states.ent.replace(etype=T1, health=H1, aux=A1),
