@@ -166,6 +166,26 @@ def read_stats(indir, outdir, task, method, budget=int(1e6)):
   return out
 
 
+def print_summary(runs, budget=int(1e6), verbose=False):
+  """Per-run summary table (read_metrics.py:68-81): score / reward /
+  length / episode means ± std across the runs, plus the per-achievement
+  success spectrum when ``verbose``."""
+  episodes = np.array([len(x['length']) for x in runs])
+  rewards = np.array([np.mean(x['reward']) for x in runs])
+  lengths = np.array([np.mean(x['length']) for x in runs])
+  percents, _, _, tasks = compute_success_rates(runs, budget, sortby=0)
+  scores = np.squeeze(compute_scores(percents))
+  print(f'Score:        {np.mean(scores):10.2f} ± {np.std(scores):.2f}')
+  print(f'Reward:       {np.mean(rewards):10.2f} ± {np.std(rewards):.2f}')
+  print(f'Length:       {np.mean(lengths):10.2f} ± {np.std(lengths):.2f}')
+  print(f'Episodes:     {np.mean(episodes):10.2f} ± {np.std(episodes):.2f}')
+  if verbose:
+    spectrum = np.squeeze(percents).reshape(-1, len(tasks))
+    for task, percent in zip(tasks, spectrum.T):
+      name = task[len('achievement_'):].replace('_', ' ').title()
+      print(f'{name:<20}  {np.mean(percent):6.2f}%')
+
+
 def crafter_score(filenames, budget=1e6):
   """Mean ± std Crafter score across seeds for a set of score JSONs."""
   percents, _, _, _ = compute_success_rates(load_runs(filenames, budget),

@@ -2,8 +2,8 @@
 
 Mirrors the reference Env constructor arguments ``area/view/size/reward/
 length/seed`` (reference: crafter/env.py:27-29) plus TPU-specific knobs
-(entity capacity, batch size).  All fields are hashable so a config can be a
-static argument to ``jax.jit``.
+(kernel backends, balance cadence).  All fields are hashable so a config
+can be a static argument to ``jax.jit``.
 """
 
 from __future__ import annotations
@@ -25,9 +25,6 @@ class EnvConfig:
   reward: bool = True                  # reward vs NoReward variant (env.py:29)
   length: int = 10000                  # episode cap (env.py:28-29)
   # TPU-specific static knobs -------------------------------------------
-  # Fixed entity-table capacity (the reference's object list is unbounded;
-  # real populations stay far below this, see step.py docstring).
-  max_entities: int = 256
   chunk_size: Tuple[int, int] = (12, 12)  # env.py:40
   day_length: int = 300                # daylight period (env.py:135-139)
   balance_every: int = 10              # chunk-balance cadence (env.py:90)
@@ -44,13 +41,15 @@ class EnvConfig:
   engine: str = 'auto'
 
   def __post_init__(self):
-    # The one-hot map/table primitives run in bfloat16, which is exact only
-    # for integers <= 256; entity slot ids (slot + 1) must stay inside that
-    # range or gathers silently round (ops/maps.py module docstring).
-    if self.max_entities > 256:
+    # The balance kernel's segmented chunk-argmax uses static (1,2,4,8)
+    # log-step shift ladders and packs the in-chunk cell rank into the low
+    # 8 bits of its 24-bit pick scores (step.py:_balance_core.chunk_max);
+    # both are only correct for chunk dims <= 16 and csx*csy <= 256.
+    csx, csy = self.chunk_size
+    if csx > 16 or csy > 16 or csx * csy > 256:
       raise ValueError(
-          f'max_entities={self.max_entities} > 256 would overflow the '
-          'bf16-exact integer range used by the one-hot map primitives')
+          f'chunk_size={self.chunk_size} exceeds the (16, 16)/256-cell '
+          'limit of the balance kernel\'s shift ladders and rank packing')
 
   @property
   def item_rows(self) -> int:

@@ -191,17 +191,30 @@ class GymnasiumEnv(_GymBase):
 
 def register_gym_envs():
   """Register CrafterReward-v1 / CrafterNoReward-v1 (reference
-  crafter/__init__.py:4-17) with gymnasium, if available."""
+  crafter/__init__.py:4-17) with gymnasium and, when importable, the old
+  gym — the API the reference itself registers against (the 4-tuple
+  ``Env`` satisfies old-gym's contract directly)."""
   try:
     import gymnasium
+    for id_, reward in [('CrafterReward-v1', True),
+                        ('CrafterNoReward-v1', False)]:
+      if id_ not in gymnasium.registry:
+        gymnasium.register(
+            id=id_, entry_point='crafter_tpu.env:GymnasiumEnv',
+            max_episode_steps=10000, kwargs={'reward': reward})
   except ImportError:  # pragma: no cover
-    return
-  for id_, reward in [('CrafterReward-v1', True),
-                      ('CrafterNoReward-v1', False)]:
-    if id_ not in gymnasium.registry:
-      gymnasium.register(
-          id=id_, entry_point='crafter_tpu.env:GymnasiumEnv',
-          max_episode_steps=10000, kwargs={'reward': reward})
+    pass
+  try:
+    import gym
+    registry = getattr(gym.envs, 'registry', None) or gym.envs.registry
+    known = getattr(registry, 'env_specs', registry)
+    for id_, reward in [('CrafterReward-v1', True),
+                        ('CrafterNoReward-v1', False)]:
+      if id_ not in known:
+        gym.register(id=id_, entry_point='crafter_tpu.env:Env',
+                     max_episode_steps=10000, kwargs={'reward': reward})
+  except ImportError:
+    pass
 
 
 @struct.dataclass

@@ -203,8 +203,8 @@ def render(state: State, cfg: EnvConfig, atlas: Atlas,
   # --- local view: material layer (engine.py:165-175) --------------------
   # The (gw, gh) window around the player is extracted with two tiny
   # one-hot matmuls per channel plane instead of a per-cell gather
-  # (per-point gathers serialize on TPU; see ops/maps.py).  Out-of-world
-  # rows/columns have empty one-hots and read 0.
+  # (per-point gathers serialize on TPU — tens of ms per frame batch,
+  # PERF.md).  Out-of-world rows/columns have empty one-hots and read 0.
   w, h = cfg.area
   off = jnp.asarray([gw // 2, gh // 2])
   xs = ppos[0] + jnp.arange(gw) - off[0]                    # (gw,)

@@ -1077,6 +1077,12 @@ def _balance_core(cell, M, T, Hp, A, occ, touched, light, px, py, seed,
   y = cell % h
   f32 = jnp.float32
 
+  # NOTE on the exactness claims below: interpret mode (the CPU CI path)
+  # computes jnp.dot in fp32, so a non-{0,1}/>=2^8 operand slipping in
+  # would pass CPU CI and only diverge on real TPU (bf16 MXU inputs).
+  # The TPU-mode lane (tests/test_tpu.py, run on hardware) asserts
+  # kernel==jnp bit-identity and is the check that actually guards this.
+
   def csum(plane):                                    # (.., C) -> (.., NCH)
     # Exact at default (single-pass bf16) precision: operands are {0, 1}.
     return jnp.dot(plane.astype(f32), onehot)
@@ -1115,6 +1121,9 @@ def _balance_core(cell, M, T, Hp, A, occ, touched, light, px, py, seed,
 
   # All six per-chunk want bits ride to the cell domain in ONE broadcast
   # (packed values <= 63, exact in bf16) instead of one matmul per pick.
+  # Growing BAL_CLASSES would push packed values past bf16's 8-bit-integer
+  # exactness and silently corrupt the broadcast at default precision.
+  assert 2 * len(BAL_CLASSES) <= 8, 'wantbits packing exceeds bf16 exactness'
   wantbits = jnp.zeros_like(touched, jnp.int32)
   for i in range(len(BAL_CLASSES)):
     wantbits = (wantbits | want_despawn[i].astype(jnp.int32) << i

@@ -247,6 +247,24 @@ class TestGymnasiumAdapter:
     assert reward == 0.0 and not terminated
     assert 'semantic' in info
 
+  def test_old_gym_registration(self, monkeypatch):
+    """The reference registers against old gym (crafter/__init__.py:4-17);
+    with gym absent here, verify the same ids register through a minimal
+    shim of old gym's registration surface."""
+    import sys
+    import types
+    import crafter_tpu
+    registered = {}
+    fake = types.ModuleType('gym')
+    fake.envs = types.SimpleNamespace(registry=types.SimpleNamespace(
+        env_specs={}))
+    fake.register = lambda id, **kw: registered.__setitem__(id, kw)
+    monkeypatch.setitem(sys.modules, 'gym', fake)
+    crafter_tpu.register_gym_envs()
+    assert registered['CrafterReward-v1']['kwargs'] == {'reward': True}
+    assert registered['CrafterNoReward-v1']['kwargs'] == {'reward': False}
+    assert registered['CrafterReward-v1']['max_episode_steps'] == 10000
+
 
 class TestVecEnvSpaces:
   def test_spaces_exposed(self):

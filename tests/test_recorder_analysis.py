@@ -97,6 +97,16 @@ class TestScorePipeline:
     assert round(float(mean[0]), 1) == 50.5
     assert round(float(std[0]), 1) == 6.8
 
+  @pytest.mark.skipif(not REF_SCORES.exists(), reason='no reference scores')
+  def test_print_summary(self, capsys):
+    # read_metrics.py:68-81: per-run score/reward/length/episode means.
+    runs = analysis.load_runs([REF_SCORES / 'crafter_noreward-random.json'])
+    analysis.print_summary(runs, int(1e6), verbose=True)
+    out = capsys.readouterr().out
+    assert 'Score:' in out and 'Reward:' in out
+    assert 'Length:' in out and 'Episodes:' in out
+    assert 'Wake Up' in out  # verbose spectrum line
+
   def test_read_stats_roundtrip(self, tmp_path):
     # Write a synthetic 1M-step run of 3-step episodes, aggregate, score.
     logdir = tmp_path / 'run0'

@@ -21,7 +21,6 @@ HAVE_REF = refshim.install()
 pytestmark = pytest.mark.skipif(not HAVE_REF, reason='no reference checkout')
 
 N_WORLDS = 8
-HORIZON = 100
 
 
 @pytest.fixture(scope='module')
@@ -80,75 +79,13 @@ class TestWorldgenDistribution:
       assert abs(got - ref) <= max(tol * ref, 3), (name, ref, got)
 
 
-class TestRandomPolicyDynamics:
-  """Short-horizon dynamics under the same random policy distribution."""
-
-  @pytest.fixture(scope='class')
-  def ref_stats(self):
-    import crafter
-    lengths, deaths, wood, sapling, hp = [], 0, 0, 0, []
-    n = 10
-    for seed in range(n):
-      env = crafter.Env(seed=seed)
-      env.reset()
-      rng = np.random.RandomState(seed)
-      for t in range(HORIZON):
-        _, _, done, info = env.step(rng.randint(17))
-        if done:
-          deaths += 1
-          break
-      lengths.append(t + 1)
-      wood += int(info['achievements']['collect_wood'] > 0)
-      sapling += int(info['achievements']['collect_sapling'] > 0)
-      hp.append(info['inventory']['health'])
-    return dict(n=n, deaths=deaths, wood=wood, sapling=sapling,
-                mean_hp=np.mean(hp))
-
-  @pytest.fixture(scope='class')
-  def tpu_stats(self):
-    import jax
-    import jax.numpy as jnp
-    from crafter_tpu.config import EnvConfig
-    from crafter_tpu.env import home_keys, vec_reset
-    from crafter_tpu import step as step_lib, rules
-    cfg = EnvConfig()
-    n = 16
-    vs = jax.jit(lambda: vec_reset(home_keys(7, n), cfg))()
-
-    @jax.jit
-    def run(env_state, key):
-      def body(carry, _):
-        st, key, dead = carry
-        key, k = jax.random.split(key)
-        a = jax.random.randint(k, (n,), 0, 17)
-        st, out = jax.vmap(lambda s, a_: step_lib.step(s, a_, cfg))(st, a)
-        return (st, key, dead | out.dead), None
-      (st, _, dead), _ = jax.lax.scan(
-          body, (env_state, key, jnp.zeros((n,), bool)), None,
-          length=HORIZON)
-      return st, dead
-
-    st, dead = run(vs.env, jax.random.key(0))
-    ach = np.asarray(st.player.achievements)
-    return dict(
-        n=n, deaths=int(np.asarray(dead).sum()),
-        wood=int((ach[:, rules.ACH_ID['collect_wood']] > 0).sum()),
-        sapling=int((ach[:, rules.ACH_ID['collect_sapling']] > 0).sum()),
-        mean_hp=float(np.asarray(st.player.inventory)[:, 0].mean()))
-
-  def test_death_rate(self, ref_stats, tpu_stats):
-    ref = ref_stats['deaths'] / ref_stats['n']
-    got = tpu_stats['deaths'] / tpu_stats['n']
-    assert abs(ref - got) <= 0.4, (ref, got)
-
-  def test_early_achievement_rates(self, ref_stats, tpu_stats):
-    for key in ('wood', 'sapling'):
-      ref = ref_stats[key] / ref_stats['n']
-      got = tpu_stats[key] / tpu_stats['n']
-      assert abs(ref - got) <= 0.45, (key, ref, got)
-
-  def test_health_distribution(self, ref_stats, tpu_stats):
-    assert abs(ref_stats['mean_hp'] - tpu_stats['mean_hp']) <= 3.0
+## NOTE: the round-1 TestRandomPolicyDynamics class (death-rate band
+## ±0.40, achievement bands ±0.45 over 10-episode samples) was retired in
+## round 4: the exact-seed oracle (tests/test_parity_exact.py) enforces
+## bitwise parity for the parity engine, and the fast engine's dynamics
+## distribution is anchored by the 1M-step random-score run
+## (tools/random_baseline.py, RESULTS.md) — both strictly stronger than
+## those loose bands, which only added suite minutes.
 
 
 class TestBalanceDynamics:

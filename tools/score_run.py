@@ -29,6 +29,8 @@ def main():
   mean, std = analysis.crafter_score([out], budget)
   print(f'{method}: crafter score {float(mean[0]):.2f} '
         f'± {float(std[0]):.2f} % ({out})')
+  analysis.print_summary(analysis.load_runs([out], budget), budget,
+                         verbose=True)
 
 
 if __name__ == '__main__':
