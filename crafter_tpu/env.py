@@ -75,6 +75,22 @@ class CrafterEnv:
   def observe(self, state: State) -> jax.Array:
     return render_lib.render(state, self.cfg, self.atlas, self.cfg.size)
 
+  def observe_batch(self, states: State) -> jax.Array:
+    """Frames for a batch of envs: one Pallas render kernel on TPU,
+    vmapped jnp elsewhere (bit-identical — shared `_render_core` trace)."""
+    engine = self.cfg.engine
+    if engine == 'auto':
+      engine = 'pallas' if jax.default_backend() == 'tpu' else 'jnp'
+    if engine == 'jnp':
+      return jax.vmap(self.observe)(states)
+    packed = render_lib.pack_cells(states.mat_map, states.ent.etype,
+                                   states.ent.aux, states.ent.facing)
+    seeds = jax.vmap(render_lib._noise_seed)(states.key, states.step)
+    return render_lib.render_frames(
+        packed, states.player.pos, states.player.facing,
+        states.player.sleeping.astype(jnp.int32), states.player.inventory,
+        states.step, seeds, self.cfg, self.atlas, self.cfg.size)
+
   def info(self, state: State, out: step_lib.StepOut) -> dict:
     """The reference's info dict, as arrays (env.py:108-115)."""
     return dict(
@@ -395,6 +411,14 @@ def vec_step_group(vs: VecState, actions: jax.Array, cfg: EnvConfig,
     return vs, jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
 
   env, raw, occ_pre = step_lib.step_group_batch(vs.env, actions, cfg)
+  return _group_finish(vs, env, raw, occ_pre, cfg, reset_batch)
+
+
+def _group_finish(vs: VecState, env: State, raw, occ_pre: jax.Array,
+                  cfg: EnvConfig, reset_batch: int):
+  """Latch dones, group-end balance, reset pass (shared by the group
+  paths; see :func:`vec_step_group` for the semantics)."""
+  k = cfg.balance_every
   # Latch dones across the group (the per-tick path's `pending` machinery,
   # folded): done_t = pending_0 | any(raw_done_{<=t}); `ended` pulses once.
   cum = jnp.cumsum(raw.done.astype(jnp.int32), axis=0) > 0
@@ -413,6 +437,80 @@ def vec_step_group(vs: VecState, actions: jax.Array, cfg: EnvConfig,
   vs = VecState(env=env, episode=episode, home_key=vs.home_key,
                 tick=vs.tick + k, pending=pending)
   return vs, outs
+
+
+def vec_step_group_obs(vs: VecState, actions: jax.Array, cfg: EnvConfig,
+                       reset_batch: int, core: 'CrafterEnv'):
+  """:func:`vec_step_group` plus one observation frame per tick — the
+  fused pixel path (BASELINE config 3; the reference renders every step,
+  crafter/env.py:96, :120-133).
+
+  Frames 0..K-2 are rendered from per-tick snapshots the group kernel
+  emits from VMEM (step.GroupSnaps) — one batched render over (K-1)*N
+  frames instead of K-1 separate per-tick programs; frame K-1 is rendered
+  from the post-balance, post-reset state, exactly like the per-tick
+  VecEnv contract (finished envs show their next episode's first frame).
+
+  Returns ``(vs, outs, obs)`` with ``obs`` (K, N, H, W, 3) uint8,
+  ``obs[t]`` = the frame after tick t.  Bit-identical to K
+  ``vec_step(..., reset_every=K, balance=(i == K-1))`` calls each
+  followed by a batched render (asserted in tests/test_step.py).
+  """
+  k = cfg.balance_every
+  assert actions.shape[0] == k, (actions.shape, k)
+  engine = cfg.engine
+  if engine == 'auto':
+    engine = 'pallas' if jax.default_backend() == 'tpu' else 'jnp'
+  if engine == 'jnp':
+    outs, obs = [], []
+    for i in range(k):
+      vs, out, _ = vec_step(vs, actions[i], cfg, reset_batch,
+                            reset_every=k, balance=(i == k - 1))
+      outs.append(out)
+      obs.append(jax.vmap(core.observe)(vs.env))
+    return (vs, jax.tree.map(lambda *xs: jnp.stack(xs), *outs),
+            jnp.stack(obs))
+
+  n = actions.shape[1]
+  key0, step0 = vs.env.key, vs.env.step  # episode keys: fixed over a group
+  env, raw, occ_pre, snaps = step_lib.step_group_batch(
+      vs.env, actions, cfg, snapshots=True)
+  vs, outs = _group_finish(vs, env, raw, occ_pre, cfg, reset_batch)
+
+  # ONE batched Pallas render over all K*N frames: ticks 0..K-2 from the
+  # kernel's snapshots (tick-major, so the row flatten is free), tick K-1
+  # from the post-balance post-reset state (reset envs show their next
+  # episode's first frame: step/key are the fresh episode's, exactly like
+  # a per-tick `observe` after the reset).
+  c = cfg.area[0] * cfg.area[1]
+  km1 = k - 1
+  fin = vs.env
+  packed = jnp.concatenate([
+      snaps.packed.reshape(km1 * n, c),
+      render_lib.pack_cells(fin.mat_map, fin.ent.etype, fin.ent.aux,
+                            fin.ent.facing)])
+  ppos = jnp.concatenate([
+      jnp.stack([snaps.px.reshape(-1), snaps.py.reshape(-1)], -1),
+      fin.player.pos])
+  pfac = jnp.concatenate([snaps.facing.reshape(-1), fin.player.facing])
+  slp = jnp.concatenate([snaps.sleeping.reshape(-1),
+                         fin.player.sleeping.astype(jnp.int32)])
+  inv = jnp.concatenate([snaps.inv.reshape(km1 * n, rules.N_ITEMS),
+                         fin.player.inventory])
+  steps = jnp.concatenate([
+      (step0[None, :] + 1 + jnp.arange(km1)[:, None]).reshape(-1),
+      fin.step])
+  seeds = jnp.concatenate([
+      jax.vmap(render_lib._noise_seed)(
+          jnp.broadcast_to(key0[None], (km1, n)).reshape(-1),
+          (step0[None, :] + 1 + jnp.arange(km1)[:, None]).reshape(-1)),
+      jax.vmap(render_lib._noise_seed)(fin.key, fin.step)])
+  frames = render_lib.render_frames(packed, ppos, pfac, slp, inv, steps,
+                                    seeds, cfg, core.atlas, cfg.size)
+  # Rows are already (tick 0..K-2) x N followed by the N final frames —
+  # exactly (K, N) order, so the split is a free reshape.
+  obs = frames.reshape((k, n) + frames.shape[1:])
+  return vs, outs, obs
 
 
 def _reset_pass(env: State, done: jax.Array, episode: jax.Array,
@@ -530,7 +628,7 @@ class VecEnv:
     self.reset_batch = min(num_envs, reset_batch or max(32, num_envs // 128))
     self._sharding = sharding
     self._home = home_keys(seed, num_envs)
-    self._observe = jax.jit(jax.vmap(self.core.observe))
+    self._observe = jax.jit(self.core.observe_batch)
     self._step = jax.jit(self._step_impl, donate_argnums=(0,))
     self.state: Optional[VecState] = None
     # RL-library conveniences (mirror the single-env spaces).
@@ -550,7 +648,7 @@ class VecEnv:
     # state (the next episode's first frame), the batched-RL contract.
     vs, out, stepped = vec_step(vs, actions, self.cfg, self.reset_batch)
     info = jax.vmap(self.core.info)(stepped, out)
-    obs = jax.vmap(self.core.observe)(vs.env)
+    obs = self.core.observe_batch(vs.env)
     reward = out.reward if self.cfg.reward else jnp.zeros_like(out.reward)
     return vs, obs, reward, out.done, info
 

@@ -98,7 +98,7 @@ class PPO:
     params = self.model.init(k_param, jnp.zeros((1,) + obs_shape, jnp.uint8))
     vec = vec_reset(home_keys(self.cfg.seed, self.cfg.num_envs),
                     self.env_cfg)
-    obs = jax.vmap(self.core.observe)(vec.env)
+    obs = self.core.observe_batch(vec.env)
     n = self.cfg.num_envs
     return PPOState(
         params=params, opt_state=self.tx.init(params), vec=vec, obs=obs,
@@ -119,7 +119,7 @@ class PPO:
           jnp.arange(action.shape[0]), action]
       vec, env_out, stepped = vec_step(vec, action, self.env_cfg,
                                        cfg.reset_batch)
-      next_obs = jax.vmap(self.core.observe)(vec.env)
+      next_obs = self.core.observe_batch(vec.env)
       reward = (env_out.reward if self.env_cfg.reward
                 else jnp.zeros_like(env_out.reward))
       tr = Transition(obs=obs, action=action, logp=logp, value=out.value,

@@ -1,11 +1,30 @@
-"""Observation rendering as texture-atlas gathers on device.
+"""Observation rendering as a packed-plane select kernel on device.
 
 The reference composes every frame on the host with per-tile PIL blits
-(reference: crafter/engine.py:155-248, crafter/env.py:120-130).  Here all
-textures are baked once into dense atlases and a frame is two gathers
-(material tile + entity overlay) fused with vectorized alpha blending and
-the day/night lighting math — one small XLA program per env, vmappable to
-thousands of frames per step on the VPU.
+(reference: crafter/engine.py:155-248, crafter/env.py:120-130).  Here the
+frame pipeline is factored for the TPU's memory hierarchy:
+
+* **Bake time** (host, once per render size): every per-pixel quantity
+  that depends only on *pixel position* is precomputed into full-frame
+  planes — for each of the 14 material/amount candidates a packed-RGB
+  plane holding "this pixel's texel if its tile had that id", likewise 15
+  packed-RGBA sprite planes, the night vignette, and a 0/1 expansion
+  matrix mapping the 63 view tiles + 16 inventory slots onto pixels.
+* **Frame time**: per frame only 79 dynamic values exist (63 window-tile
+  ids + 16 inventory amounts) plus four scalars (daylight, sleeping,
+  facing, noise seed).  A frame is then ONE tiny matmul (79 -> pixels,
+  exact: each pixel reads one source) followed by a branch-free chain of
+  candidate selects and the lighting math over per-channel pixel planes,
+  packed r|g<<8|b<<16 into one int32 lane per pixel.
+
+Two backends share the same ``_render_core`` trace, so results are
+bit-identical (the `_mob_core` pattern, step.py):
+
+* jnp — per-frame under vmap (CPU, the single-env path);
+* Pallas (:func:`render_frames`) — frames gridded over blocks, every
+  intermediate in VMEM.  The XLA formulation of the same math (gathers +
+  f32 tile tensors) materializes ~15 multi-hundred-MB intermediates per
+  4096-frame batch to HBM and runs ~50x slower than the VPU roofline.
 
 Pixel-parity notes:
 
@@ -18,8 +37,9 @@ Pixel-parity notes:
   empirically against PIL; see tests/test_render.py).
 * The reference draws the night noise from the *game* RNG stream
   (engine.py:208-211) — the documented parity trap (SURVEY.md §3.3).  Here
-  rendering is pure: the noise key is derived by folding a render tag into
-  the state key, so observations never perturb the simulation.
+  rendering is pure: the per-pixel noise comes from a counter hash of
+  (episode key, step, pixel), so observations never perturb the simulation
+  (distribution-equivalent; tests/test_render.py::test_night_frame_statistics).
 * Intermediate float math is float32 (the reference runs numpy float64);
   uint8 truncation points are replicated, so frames match the reference to
   within ±1 LSB on lighting-blended pixels and exactly elsewhere.
@@ -40,6 +60,7 @@ from . import rules
 from . import state as state_lib
 from .config import EnvConfig
 from .state import State
+from .step import _fmix, _i32c, _lane_iota, _srl
 
 ASSETS = pathlib.Path(__file__).parent / 'assets'
 
@@ -63,13 +84,20 @@ GRAY_ID = rules.N_MATERIALS  # out-of-bounds tile: the 127-gray canvas
 
 @struct.dataclass
 class Atlas:
-  """Baked textures for one (size, view) configuration (all uint8)."""
+  """Baked per-pixel planes for one (size, view) configuration.
 
-  mat: jax.Array         # (N_MATERIALS+1, ux, uy, 3) — id 0 = 'unknown'
-  ent: jax.Array         # (15, ux, uy, 4) RGBA entity sprites
-  item_tiles: jax.Array  # (16, 10, ux, uy, 3) — inventory tile per amount
-  vignette: jax.Array    # (gh*uy, gw*ux) float32 night vignette,
-  #                          stored row-major like the composed frame
+  ``C`` = size[0] * size[1] output pixels, lane l = row * size[0] + col of
+  the (size[1], size[0], 3) frame.  View borders (env.py:123-125) are
+  baked into the plane layout.
+  """
+
+  mat_planes: jax.Array  # (N_MATERIALS+1, C) int32 r|g<<8|b<<16 — candidate
+  #                        k's texel: material k in the view region, item
+  #                        amount k (k<10) in the strip region
+  spr_planes: jax.Array  # (15, C) int32 r|g<<8|b<<16|a<<24 sprite texels
+  expand: jax.Array      # (79, C) float32 0/1: view tile / item slot -> pixel
+  vignette: jax.Array    # (1, C) float32 night vignette (0 off the view)
+  view_mask: jax.Array   # (1, C) int32 0/1 — pixels the lighting applies to
 
 
 def _load(name: str) -> np.ndarray:
@@ -112,17 +140,23 @@ def _vignette(shape: Tuple[int, int], stddev: float) -> np.ndarray:
 def bake_atlas(size: Tuple[int, int] = (64, 64),
                view: Tuple[int, int] = (9, 9),
                item_rows: int = 2) -> Atlas:
-  """Bake all textures for a render size on the host (cached)."""
+  """Bake the per-pixel candidate planes for a render size (cached)."""
   ux, uy = size[0] // view[0], size[1] // view[1]
   gw, gh = view[0], view[1] - item_rows
+  wpix, hpix = size
+  c = wpix * hpix
+  # View border (env.py:123-125): bx along the minor (col) axis, by rows.
+  bx = (wpix - ux * view[0]) // 2
+  by = (hpix - uy * view[1]) // 2
+  n_mat = rules.N_MATERIALS + 1  # + the 127-gray out-of-bounds candidate
 
-  mat = np.full((rules.N_MATERIALS + 1, ux, uy, 3), 127, np.uint8)
-  mat[0] = _rgb(_resize(_load('unknown'), (ux, uy)))
+  mat_tex = np.full((n_mat, ux, uy, 3), 127, np.uint8)
+  mat_tex[0] = _rgb(_resize(_load('unknown'), (ux, uy)))
   for name, mid in rules.MAT_ID.items():
-    mat[mid] = _rgb(_resize(_load(name), (ux, uy)))
+    mat_tex[mid] = _rgb(_resize(_load(name), (ux, uy)))
   # GRAY_ID stays 127: the canvas background for out-of-bounds tiles.
 
-  ent = np.zeros((len(ENT_TEX_NAMES), ux, uy, 4), np.uint8)
+  spr_tex = np.zeros((len(ENT_TEX_NAMES), ux, uy, 4), np.uint8)
   for i, name in enumerate(ENT_TEX_NAMES):
     if name is None:
       continue
@@ -130,164 +164,314 @@ def bake_atlas(size: Tuple[int, int] = (64, 64),
     if img.shape[-1] == 3:
       img = np.concatenate([img, np.full(img.shape[:2] + (1,), 255,
                                          np.uint8)], -1)
-    ent[i] = img
+    spr_tex[i] = img
 
   # Inventory tiles: icon at 0.8*unit offset 0.1*unit, count digit at
   # 0.6*unit offset 0.4*unit, zero amounts blank (engine.py:227-248).
   unit = np.array([ux, uy])
-  icon_size = (0.8 * unit).astype(int)
-  digit_size = (0.6 * unit).astype(int)
-  icon_off = (0.1 * unit).astype(int)
-  digit_off = (0.4 * unit).astype(int)
   item_tiles = np.zeros((rules.N_ITEMS, 10, ux, uy, 3), np.uint8)
   for i, name in enumerate(rules.ITEMS):
-    icon = _resize(_load(name), tuple(icon_size))
+    icon = _resize(_load(name), tuple((0.8 * unit).astype(int)))
     for amount in range(1, 10):
       tile = np.zeros((ux, uy, 3), np.uint8)
-      _draw_alpha(tile, icon_off, icon)
-      digit = _resize(_load(str(amount)), tuple(digit_size))
-      _draw_alpha(tile, digit_off, digit)
+      _draw_alpha(tile, (0.1 * unit).astype(int), icon)
+      digit = _resize(_load(str(amount)), tuple((0.6 * unit).astype(int)))
+      _draw_alpha(tile, (0.4 * unit).astype(int), digit)
       item_tiles[i, amount] = tile
 
-  # The frame is composed row-major (y, x) from the start — transposing a
-  # (64, 64, 3) uint8 batch afterwards costs ~100x the whole render on TPU
-  # (Mosaic relayout), so the reference's final transpose (env.py:130) is
-  # baked into the composition instead.  The vignette is stored in the
-  # same orientation.
-  vig = _vignette((gw * ux, gh * uy), 0.5).astype(np.float32).T
-  return Atlas(mat=jnp.asarray(mat), ent=jnp.asarray(ent),
-               item_tiles=jnp.asarray(item_tiles),
-               vignette=jnp.asarray(vig))
+  # Per-pixel planes, row-major (y, x) like the output frame — the
+  # reference's final transpose (env.py:130) is baked into the layout
+  # (a post-hoc uint8 transpose is a catastrophic Mosaic relayout,
+  # PERF.md).  Row r, col cc -> lane r*wpix + cc.
+  ys, xs = np.divmod(np.arange(c), wpix)     # ys = row, xs = col
+  r_view = ys - by
+  c_view = xs - bx
+  in_view = ((r_view >= 0) & (r_view < gh * uy)
+             & (c_view >= 0) & (c_view < gw * ux))
+  r_strip = r_view - gh * uy
+  in_strip = ((r_strip >= 0) & (r_strip < item_rows * uy)
+              & (c_view >= 0) & (c_view < gw * ux))
+  tx = np.clip(c_view // ux, 0, gw - 1)
+  ty = np.clip(r_view // uy, 0, gh - 1)
+  px = np.clip(c_view % ux, 0, ux - 1)
+  py_v = np.clip(r_view % uy, 0, uy - 1)
+  py_s = np.clip(r_strip % uy, 0, uy - 1)
+  item = np.clip(r_strip // uy, 0, item_rows - 1) * gw + tx  # engine.py:238
+  item_ok = in_strip & (item < rules.N_ITEMS)
+
+  pk3 = lambda t: (t[..., 0].astype(np.int64) | (t[..., 1].astype(np.int64)
+                   << 8) | (t[..., 2].astype(np.int64) << 16))
+  mat_planes = np.zeros((n_mat, c), np.int64)
+  for k in range(n_mat):
+    mat_planes[k][in_view] = pk3(mat_tex[k][px, py_v])[in_view]
+    if k < 10:
+      mat_planes[k][item_ok] = pk3(
+          item_tiles[np.clip(item, 0, rules.N_ITEMS - 1), k, px, py_s]
+      )[item_ok]
+  spr_planes = np.zeros((len(ENT_TEX_NAMES), c), np.int64)
+  for k in range(1, len(ENT_TEX_NAMES)):
+    spr_planes[k][in_view] = (
+        pk3(spr_tex[k][px, py_v])
+        | (spr_tex[k][px, py_v, 3].astype(np.int64) << 24))[in_view]
+
+  # Expansion matrix: pixel <- its view tile (x-major, matching the
+  # window flatten order) or its strip item slot.
+  expand = np.zeros((gw * gh + rules.N_ITEMS, c), np.float32)
+  lanes = np.arange(c)
+  src = np.where(in_view, tx * gh + ty,
+                 np.where(item_ok, gw * gh + item, -1))
+  ok = src >= 0
+  expand[src[ok], lanes[ok]] = 1.0
+
+  vig = np.zeros((c,), np.float32)
+  vig_view = _vignette((gw * ux, gh * uy), 0.5).astype(np.float32).T
+  vig[in_view] = vig_view[r_view[in_view], c_view[in_view]]
+
+  i32 = lambda a: jnp.asarray(
+      (a & 0xFFFFFFFF).astype(np.uint32).view(np.int32))
+  return Atlas(
+      mat_planes=i32(mat_planes),
+      spr_planes=i32(spr_planes),
+      expand=jnp.asarray(expand),
+      vignette=jnp.asarray(vig.reshape(1, c)),
+      view_mask=jnp.asarray(in_view.astype(np.int32).reshape(1, c)))
 
 
-def _table_lookup(table: jax.Array, ids: jax.Array) -> jax.Array:
-  """Gather rows of a small table as a one-hot matmul.
-
-  TPU lowers per-index slice gathers poorly (tens of ms for the 63
-  tile-lookups of a 4096-env frame); with tables this small (≤160 rows) a
-  one-hot contraction runs on the MXU instead.  uint8 texel values (≤255)
-  are exact in bfloat16, and one-hot rows have a single 1, so the result
-  is the exact table row.
-  """
-  t = table.shape[0]
-  flat = table.reshape(t, -1).astype(jnp.bfloat16)
-  oh = jax.nn.one_hot(ids.reshape(-1), t, dtype=jnp.bfloat16)
-  out = oh @ flat
-  return out.reshape(ids.shape + table.shape[1:]).astype(jnp.float32)
-
-
-def _luma(rgb: jax.Array) -> jax.Array:
-  """PIL's fixed-point ITU-R 601-2 luma (Convert.c L24 table)."""
-  r = rgb[..., 0].astype(jnp.int32)
-  g = rgb[..., 1].astype(jnp.int32)
-  b = rgb[..., 2].astype(jnp.int32)
+def _luma_i(r: jax.Array, g: jax.Array, b: jax.Array) -> jax.Array:
+  """PIL's fixed-point ITU-R 601-2 luma (Convert.c L24 table), int32 in."""
   return (19595 * r + 38470 * g + 7471 * b + 32768) >> 16
 
 
-def _desaturate(canvas_u8: jax.Array, factor: float) -> jax.Array:
-  """ImageEnhance.Color(x).enhance(factor): trunc(L + f*(x-L))."""
-  lum = _luma(canvas_u8)[..., None].astype(jnp.float32)
-  out = lum + factor * (canvas_u8.astype(jnp.float32) - lum)
-  return jnp.floor(out)
+def _noise_seed(key: jax.Array, step: jax.Array) -> jax.Array:
+  """Per-(episode, step) int32 seed for the night-noise hash."""
+  ki = jax.lax.bitcast_convert_type(jax.random.key_data(key), jnp.int32)
+  return _fmix(ki[..., 0] ^ _fmix(ki[..., 1] + step * _i32c(0x9E3779B9))
+               + _i32c(0x51ED2701))
 
 
-def render(state: State, cfg: EnvConfig, atlas: Atlas,
-           size: Tuple[int, int] = (64, 64)) -> jax.Array:
-  """One frame: (size[1], size[0], 3) uint8 (env.py:120-130 transposes)."""
+def pack_cells(mat_map, ent_etype, ent_aux, ent_facing) -> jax.Array:
+  """Per-cell channels -> the packed render plane: material id (4 bits)
+  | cell sprite id (4 bits).  The sprite id is the final texture id for
+  every entity type except the player, whose tile carries the marker
+  TEX_PLAYER and is resolved against facing/sleeping in
+  :func:`_window_prep`.  Matches the group kernel's snapshot packing
+  (step.py:step_group_batch)."""
+  t = ent_etype.astype(jnp.int32)
+  f = ent_facing.astype(jnp.int32)
+  ripe = ((t == rules.E_PLANT)
+          & (ent_aux.astype(jnp.int32) > 300)).astype(jnp.int32)
+  ctex = jnp.where(
+      t == rules.E_PLAYER, TEX_PLAYER,
+      jnp.where(t == rules.E_COW, TEX_COW,
+                jnp.where(t == rules.E_ZOMBIE, TEX_ZOMBIE,
+                          jnp.where(t == rules.E_SKELETON, TEX_SKELETON,
+                                    jnp.where(t == rules.E_ARROW,
+                                              TEX_ARROW + f,
+                                              jnp.where(t == rules.E_PLANT,
+                                                        TEX_PLANT + ripe,
+                                                        TEX_NONE))))))
+  return (mat_map.astype(jnp.int32) | (ctex << 4)).astype(jnp.uint8)
+
+
+def _window_prep(packed: jax.Array, ppos: jax.Array, pfacing: jax.Array,
+                 sleeping: jax.Array, inventory: jax.Array,
+                 cfg: EnvConfig) -> jax.Array:
+  """One frame's 79 dynamic values: 63 window tile ids | texids + 16
+  inventory amounts (engine.py:165-181, :227-235).
+
+  The (gw, gh) window around the player is extracted from the packed cell
+  plane with two tiny one-hot matmuls (per-point gathers serialize on
+  TPU, PERF.md); out-of-world tiles read the 127-gray candidate.
+  """
   gw, gh = cfg.local_grid
-  item_rows = cfg.item_rows
-  ux, uy = size[0] // cfg.view[0], size[1] // cfg.view[1]
-  ppos = state.player.pos
-  sleeping = state.player.sleeping
-
-  # --- local view: material layer (engine.py:165-175) --------------------
-  # The (gw, gh) window around the player is extracted with two tiny
-  # one-hot matmuls per channel plane instead of a per-cell gather
-  # (per-point gathers serialize on TPU — tens of ms per frame batch,
-  # PERF.md).  Out-of-world rows/columns have empty one-hots and read 0.
   w, h = cfg.area
   off = jnp.asarray([gw // 2, gh // 2])
   xs = ppos[0] + jnp.arange(gw) - off[0]                    # (gw,)
   ys = ppos[1] + jnp.arange(gh) - off[1]                    # (gh,)
   inside = (((xs >= 0) & (xs < w))[:, None]
             & ((ys >= 0) & (ys < h))[None, :])              # (gw, gh)
-  ohx = (xs[:, None] == jnp.arange(w)).astype(jnp.float32)  # (gw, W)
-  ohy = (jnp.arange(h)[:, None] == ys[None]).astype(jnp.float32)  # (H, gh)
+  # bfloat16 one-hots, column contraction first: packed values are < 256
+  # so bf16 is exact, 2x the MXU rate of f32, and the (W, H) @ (H, gh)
+  # order does ~25% fewer MACs than rows-first (measured ~20% faster
+  # prep over a 40960-frame batch).
+  ohx = (xs[:, None] == jnp.arange(w)).astype(jnp.bfloat16)  # (gw, W)
+  ohy = (jnp.arange(h)[:, None] == ys[None]).astype(jnp.bfloat16)  # (H, gh)
+  g = packed.reshape(w, h).astype(jnp.bfloat16)
+  win = (ohx @ (g @ ohy)).astype(jnp.int32)                 # (gw, gh)
 
-  def window(plane):
-    g = plane.reshape(w, h).astype(jnp.float32)
-    return (ohx @ g @ ohy).astype(jnp.int32)                # (gw, gh)
+  mid = jnp.where(inside, win & 15, GRAY_ID)
+  ctex = jnp.where(inside, (win >> 4) & 15, 0)
+  # The player tile carries the TEX_PLAYER marker; resolve it against
+  # facing/sleeping (objects.py:85-93).  Every other sprite id is final.
+  ptex = jnp.where(sleeping, TEX_PLAYER_SLEEP, TEX_PLAYER + pfacing)
+  texid = jnp.where(ctex == TEX_PLAYER, ptex, ctex)
+  win79 = jnp.concatenate([
+      (mid | (texid << 4)).reshape(gw * gh),
+      jnp.clip(inventory.astype(jnp.int32), 0, 9)])
+  return win79
 
-  mids = jnp.where(inside, window(state.mat_map), GRAY_ID)
-  tiles = _table_lookup(atlas.mat, mids)                    # (gw,gh,ux,uy,3)
 
-  # --- entity overlay (engine.py:176-181): entities live in the grid, so
-  # the occupant's sprite id is a per-tile select over the channel windows,
-  # replacing the reference's per-object blits.
-  et = window(state.ent.etype)
-  aux = window(state.ent.aux)
-  fac = window(state.ent.facing)
-  texid_grid = jnp.where(
-      et == rules.E_PLAYER,
-      jnp.where(sleeping, TEX_PLAYER_SLEEP, TEX_PLAYER + state.player.facing),
-      jnp.where(et == rules.E_COW, TEX_COW,
-                jnp.where(et == rules.E_ZOMBIE, TEX_ZOMBIE,
-                          jnp.where(et == rules.E_SKELETON, TEX_SKELETON,
-                                    jnp.where(et == rules.E_ARROW,
-                                              TEX_ARROW + fac,
-                                              jnp.where(et == rules.E_PLANT,
-                                                        jnp.where(aux > 300,
-                                                                  TEX_PLANT_RIPE,
-                                                                  TEX_PLANT),
-                                                        TEX_NONE))))))
-  sprite = _table_lookup(atlas.ent, texid_grid)             # (gw,gh,ux,uy,4)
-  alpha = sprite[..., 3:] / 255.0
-  blended = alpha * (sprite[..., :3] / 255.0) + (1 - alpha) * (tiles / 255.0)
-  tiles = jnp.floor(255.0 * blended)  # engine.py:283 truncation
+def _render_core(win79, daylight, sleeping, seed, mats, sprs, expand, vig,
+                 vmask):
+  """Frame synthesis on flat pixel lanes (last axis = C) — backend-shared.
 
-  # Row-major composition: (gh, uy, gw, ux, 3) -> (gh*uy, gw*ux, 3).
-  canvas = tiles.transpose(1, 3, 0, 2, 4).reshape(gh * uy, gw * ux, 3)
+  ``win79`` (.., 79) int32; ``daylight`` (.., 1) float32; ``sleeping``/
+  ``seed`` (.., 1) int32; tables per :class:`Atlas`.  Returns (.., C)
+  int32 packed r|g<<8|b<<16.
 
-  # --- lighting (engine.py:182-218) --------------------------------------
-  daylight = state_lib.daylight(state.step, cfg.day_length)
-  nkey = jax.random.fold_in(jax.random.fold_in(state.key, 0x9e77), state.step)
-  noise = jax.random.uniform(nkey, canvas.shape[:2], jnp.float32, 32., 127.)
-  amount = 2.0 * (0.5 - daylight)
-  mask = (amount * atlas.vignette)[..., None]
-  noised = (1 - mask) * canvas + mask * noise[..., None]
-  night = jnp.where(daylight < 0.5, noised, canvas)
-  night = _desaturate(jnp.floor(night).astype(jnp.uint8), 0.4)
-  night = 0.5 * night + 0.5 * jnp.asarray([0., 16., 64.])  # _tint engine.py:195
-  lit = daylight * canvas + (1 - daylight) * night
+  Every arithmetic step replicates the reference's order and truncation
+  points (engine.py:182-218, :276-284, env.py:120-130); both backends run
+  this exact trace, so jnp and Pallas frames are bit-identical.
+  """
+  f32 = jnp.float32
+  nsel = mats.shape[0]
+  # One exact matmul: each pixel column of `expand` has exactly one 1, so
+  # the product is a plain copy of its source value (<= 255) — exact in
+  # any matmul precision.
+  ids = jnp.dot(win79.astype(f32), expand,
+                preferred_element_type=f32).astype(jnp.int32)
+  mid = ids & 15
+  tex = _srl(ids, 4) & 15
 
-  sleep_gray = _luma(jnp.floor(lit).astype(jnp.uint8))[..., None]
-  sleep = 0.5 * sleep_gray + 0.5 * jnp.asarray([0., 0., 16.])
-  canvas = jnp.where(sleeping, sleep, lit)
+  base = jnp.zeros_like(ids)
+  for k in range(nsel):
+    base = jnp.where(mid == k, mats[k], base)
+  spr = jnp.zeros_like(ids)
+  for k in range(1, sprs.shape[0]):
+    spr = jnp.where(tex == k, sprs[k], spr)
+  un3 = lambda v: (v & 255, _srl(v, 8) & 255, _srl(v, 16) & 255)
+  b3 = un3(base)
+  s3 = un3(spr)
+  alpha = (_srl(spr, 24) & 255).astype(f32) / 255.0
 
-  # --- item strip (engine.py:227-248) ------------------------------------
-  amounts = jnp.clip(state.player.inventory, 0, 9)
-  flat_ids = jnp.arange(rules.N_ITEMS) * 10 + amounts
-  itiles = _table_lookup(
-      atlas.item_tiles.reshape((-1,) + atlas.item_tiles.shape[2:]),
-      flat_ids).astype(jnp.uint8)
-  pad = gw * item_rows - rules.N_ITEMS
-  itiles = jnp.concatenate(
-      [itiles, jnp.zeros((pad,) + itiles.shape[1:], itiles.dtype)])
-  # index -> (col = idx % gw, row = idx // gw) (engine.py:238), composed
-  # row-major: (rows, uy, gw, ux, 3) -> (rows*uy, gw*ux, 3).
-  strip = (itiles.reshape(item_rows, gw, ux, uy, 3)
-           .transpose(0, 3, 1, 2, 4).reshape(item_rows * uy, gw * ux, 3))
+  # Alpha-over blit with the reference's truncation (engine.py:276-284).
+  canv = [jnp.floor(255.0 * (alpha * (s.astype(f32) / 255.0)
+                             + (1.0 - alpha) * (b.astype(f32) / 255.0)))
+          for s, b in zip(s3, b3)]
 
-  view = jnp.concatenate([canvas, strip.astype(jnp.float32)], 0)
-  view = jnp.floor(view).astype(jnp.uint8)  # env.py:129 uint8 assignment
+  # Night lighting (engine.py:189-196).  mask == 0 at daylight >= 0.5, so
+  # the noised canvas equals the canvas exactly — no branch needed.
+  lane = _lane_iota(vig.shape[-1], ids)
+  nbits = _fmix(seed + lane * _i32c(0x9E3779B9))
+  noise = 32.0 + _srl(nbits, 8).astype(f32) * (95.0 / (1 << 24))
+  mask = jnp.maximum(0.0, 2.0 * (0.5 - daylight)) * vig
+  noised = [(1.0 - mask) * ch + mask * noise for ch in canv]
+  nf = [jnp.floor(ch).astype(jnp.int32) for ch in noised]
+  lum = _luma_i(*nf).astype(f32)
+  desat = [jnp.floor(lum + 0.4 * (ch.astype(f32) - lum)) for ch in nf]
+  tint = (0.0, 16.0, 64.0)                                # engine.py:195
+  night = [0.5 * d + 0.5 * t for d, t in zip(desat, tint)]
+  lit = [daylight * ch + (1.0 - daylight) * ng
+         for ch, ng in zip(canv, night)]
 
-  # --- center on the output canvas (env.py:123-130); composition is
-  # already row-major so no final transpose is needed.
-  w, hgt = size
-  bx = (w - (w // cfg.view[0]) * cfg.view[0]) // 2
-  by = (hgt - (hgt // cfg.view[1]) * cfg.view[1]) // 2
-  out = jnp.zeros((hgt, w, 3), jnp.uint8)
-  return jax.lax.dynamic_update_slice(out, view, (by, bx, 0))
+  # Sleep overlay (engine.py:198-202).
+  lf = [jnp.floor(ch).astype(jnp.int32) for ch in lit]
+  lum2 = _luma_i(*lf).astype(f32)
+  stint = (0.0, 0.0, 16.0)
+  slp = sleeping != 0
+  out = [jnp.where(slp, 0.5 * lum2 + 0.5 * t, ch)
+         for ch, t in zip(lit, stint)]
+  # Lighting covers the local view only; the item strip and dead border
+  # keep their raw texels (env.py:126-129 concatenates them unlit).
+  out = [jnp.floor(jnp.where(vmask != 0, o, ch)).astype(jnp.int32)
+         for o, ch in zip(out, canv)]
+  return out[0] | (out[1] << 8) | (out[2] << 16)
+
+
+def _frame_image(packed_px: jax.Array, size: Tuple[int, int]) -> jax.Array:
+  """(.., C) int32 packed RGB -> (.., size[1], size[0], 3) uint8.
+
+  Byte 0 of the little-endian int32 is R, so a bitcast view plus a 4->3
+  channel slice is the whole unpack (no per-channel transpose).
+  """
+  b = jax.lax.bitcast_convert_type(packed_px, jnp.uint8)   # (.., C, 4)
+  return b[..., :3].reshape(packed_px.shape[:-1] + (size[1], size[0], 3))
+
+
+def render(state: State, cfg: EnvConfig, atlas: Atlas,
+           size: Tuple[int, int] = (64, 64)) -> jax.Array:
+  """One frame: (size[1], size[0], 3) uint8 (env.py:120-130 transposes)."""
+  return render_fields(
+      state.mat_map, state.ent.etype, state.ent.aux, state.ent.facing,
+      state.player.pos, state.player.facing, state.player.sleeping,
+      state.player.inventory, state.step, state.key, cfg, atlas, size)
+
+
+def render_fields(mat_map: jax.Array, ent_etype: jax.Array,
+                  ent_aux: jax.Array, ent_facing: jax.Array,
+                  ppos: jax.Array, pfacing: jax.Array, sleeping: jax.Array,
+                  inventory: jax.Array, step: jax.Array, key: jax.Array,
+                  cfg: EnvConfig, atlas: Atlas,
+                  size: Tuple[int, int] = (64, 64)) -> jax.Array:
+  """:func:`render` on bare field arrays (jnp backend, one frame)."""
+  packed = pack_cells(mat_map, ent_etype, ent_aux, ent_facing)
+  win79 = _window_prep(packed, ppos, pfacing, sleeping, inventory, cfg)
+  d = state_lib.daylight(step, cfg.day_length).reshape(1, 1)
+  slp = jnp.asarray(sleeping).astype(jnp.int32).reshape(1, 1)
+  seed = _noise_seed(key, step).reshape(1, 1)
+  px = _render_core(win79[None], d.astype(jnp.float32), slp, seed,
+                    atlas.mat_planes, atlas.spr_planes, atlas.expand,
+                    atlas.vignette, atlas.view_mask)
+  return _frame_image(px[0], size)
+
+
+def render_frames(packed: jax.Array, ppos: jax.Array, pfacing: jax.Array,
+                  sleeping: jax.Array, inventory: jax.Array,
+                  steps: jax.Array, seeds: jax.Array, cfg: EnvConfig,
+                  atlas: Atlas, size: Tuple[int, int] = (64, 64),
+                  block: int = 64) -> jax.Array:
+  """A batch of frames as ONE Pallas kernel (bit-identical to
+  vmap(:func:`render_fields`) — same ``_render_core`` trace).
+
+  ``packed``: (B, C_cells) packed cell planes (:func:`pack_cells` or the
+  group kernel's snapshots); ``seeds``: (B,) int32 from
+  :func:`_noise_seed`.  Returns (B, size[1], size[0], 3) uint8.
+  """
+  from jax.experimental import pallas as pl
+  from jax.experimental.pallas import tpu as pltpu
+
+  n = packed.shape[0]
+  c = atlas.vignette.shape[-1]
+  prep = jax.vmap(
+      lambda pk, pp, pf, sl, inv: _window_prep(pk, pp, pf, sl, inv, cfg))
+  win79 = prep(packed, ppos, pfacing, sleeping != 0, inventory)
+  d = jax.vmap(lambda s: state_lib.daylight(s, cfg.day_length))(steps)
+
+  ins = [win79.astype(jnp.int32), d.astype(jnp.float32).reshape(-1, 1),
+         sleeping.astype(jnp.int32).reshape(-1, 1),
+         seeds.astype(jnp.int32).reshape(-1, 1)]
+  pad = (-n) % block
+  if pad:
+    ins = [jnp.concatenate(
+        [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]) for a in ins]
+  np_ = n + pad
+
+  def kernel(win_ref, d_ref, sl_ref, sd_ref, mat_ref, spr_ref, exp_ref,
+             vig_ref, msk_ref, out_ref):
+    out_ref[...] = _render_core(
+        win_ref[...], d_ref[...], sl_ref[...], sd_ref[...], mat_ref[...],
+        spr_ref[...], exp_ref[...], vig_ref[...], msk_ref[...])
+
+  spec = lambda width: pl.BlockSpec((block, width), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)
+  tab = lambda rows: pl.BlockSpec((rows, c), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)
+  nm = atlas.mat_planes.shape[0]
+  ns = atlas.spr_planes.shape[0]
+  ne = atlas.expand.shape[0]
+  px = pl.pallas_call(
+      kernel,
+      grid=(np_ // block,),
+      in_specs=[spec(win79.shape[1])] + [spec(1)] * 3
+               + [tab(nm), tab(ns), tab(ne), tab(1), tab(1)],
+      out_specs=spec(c),
+      out_shape=jax.ShapeDtypeStruct((np_, c), jnp.int32),
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=100 * 1024 * 1024),
+      interpret=jax.default_backend() != 'tpu',  # CPU: test/debug mode
+  )(*ins, atlas.mat_planes, atlas.spr_planes, atlas.expand,
+    atlas.vignette, atlas.view_mask)
+  return _frame_image(px[:n], size)
 
 
 def semantic_view(state: State, cfg: EnvConfig) -> jax.Array:

@@ -110,12 +110,6 @@ class StepOut:
 # ---------------------------------------------------------------------------
 
 
-def _iota2(w: int, h: int):
-  x = jax.lax.broadcasted_iota(jnp.int32, (w, h), 0)
-  y = jax.lax.broadcasted_iota(jnp.int32, (w, h), 1)
-  return x, y
-
-
 def _mat_in(m: jax.Array, member_table) -> jax.Array:
   """Per-cell set membership (e.g. walkability) as a compare chain.
 
@@ -170,19 +164,6 @@ def _tick_seeds(key: jax.Array, step_: jax.Array):
 def _seed_uniform(seed: jax.Array) -> jax.Array:
   """One float32 uniform in [0, 1) from an int32 seed (24-bit mantissa)."""
   return _srl(_fmix(seed), 8).astype(jnp.float32) * (1.0 / (1 << 24))
-
-
-def _cell_bits(seed: jax.Array, chan: int, w: int, h: int) -> jax.Array:
-  """Per-cell int32 random bits from a counter-based hash.
-
-  Each (seed, channel, cell) triple maps through two avalanche rounds —
-  the same construction as the worldgen hash (ops/noise.py:noise3_fast),
-  an order of magnitude cheaper than threefry at these volumes.
-  """
-  x, y = _iota2(w, h)
-  v = (seed + _i32c(0x9E3779B9) * jnp.int32(chan)
-       + x * _i32c(0x85EBCA6B) + y * _i32c(0xC2B2AE35))
-  return _fmix(_fmix(v))
 
 
 def _dirvec(idx: jax.Array):
@@ -907,121 +888,33 @@ def _chunk_reduce(grid: jax.Array, cfg: EnvConfig, fill, op) -> jax.Array:
   return cols                                              # (ncx, ncy)
 
 
-def _balance_phase(state: State, seed: jax.Array, cfg: EnvConfig):
-  """Spawn/despawn mobs toward daylight-dependent per-chunk targets.
+def _balance_apply(state: State, seed: jax.Array, cfg: EnvConfig,
+                   occ=None) -> State:
+  """Chunk balancing for one env via the backend-shared `_balance_core`
+  (env.py:141-179 semantics; see the core's docstring).
 
-  The reference visits every chunk that ever held an object (a defaultdict
-  grown on add/move, engine.py:36, :57, :78-79) and, per class, spawns at a
-  random material cell or despawns a random creature (env.py:157-179).
-  Uniform picks become per-chunk argmaxes of per-cell random scores (made
-  unique by mixing the in-chunk cell rank into the low bits).
+  ``occ``: optional extra occupancy plane folded into chunk_touched
+  before balancing (the group path's OR of intermediate ticks).
   """
-  t = rules.TABLES
   w, h = cfg.area
-  (csx, csy), (ncx, ncy) = cfg.chunk_size, cfg.n_chunks
+  (ncx, ncy) = cfg.n_chunks
   nch = ncx * ncy
-  M = state.mat_map.astype(jnp.int32).reshape(w, h)
-  T = state.ent.etype.astype(jnp.int32).reshape(w, h)
-  light = state_lib.daylight(state.step, cfg.day_length)
-  ppos = state.player.pos
-  x, y = _iota2(w, h)
-  pdist = jnp.abs(x - ppos[0]) + jnp.abs(y - ppos[1])
-
-
-
-  # Per-chunk, per-class creature counts and material space — all (ncx,
-  # ncy) chunk planes from transpose-free axis reductions.
-  chsum = lambda mask: _chunk_reduce(mask.astype(jnp.int32), cfg, 0, jnp.sum)
-  counts = [chsum(T == e) for e in BAL_CLASSES]
-  grass_n = chsum(M == rules.MAT_GRASS)
-  path_n = chsum(M == rules.MAT_PATH)
-  touched = state.chunk_touched                       # (ncx, ncy)
-
-  # Spawn/despawn targets (env.py:143-155).  int() truncation on the floats.
-  zeros = jnp.zeros((ncx, ncy))
-  tmin = [jnp.where(grass_n < 50, 0.0, 3.5 - 3 * light),
-          jnp.where(path_n < 6, 0.0, 1.0),
-          jnp.where(grass_n < 30, 0.0, 1.0)]
-  tmax = [zeros + (3.5 - 3 * light), zeros + 2.0, zeros + (1.5 + light)]
-
-  # Spawn/despawn gate draws from the same counter hash as the cell picks
-  # (disjoint stream: negative channel offsets vs pick()'s channels 8-14).
-  gidx = jnp.arange(nch * 6, dtype=jnp.int32).reshape(ncx, ncy, 3, 2)
-  gate = (_srl(_fmix(_fmix(seed + _i32c(0x27D4EB2F) * (gidx + 1))), 8)
-          .astype(jnp.float32) * (1.0 / (1 << 24)))
-  want_spawn, want_despawn = [], []
-  for i in range(len(BAL_CLASSES)):
-    ws = (touched & (counts[i] < jnp.trunc(tmin[i]).astype(jnp.int32))
-          & (gate[..., i, 0] < BAL_SPAWN_P[i]))
-    want_spawn.append(ws)
-    want_despawn.append(
-        touched & ~ws & (counts[i] > jnp.trunc(tmax[i]).astype(jnp.int32))
-        & (gate[..., i, 1] < BAL_DESPAWN_P[i]))
-
-  # Unique-within-chunk random scores: 16 random high bits, cell rank low
-  # bits.  24-bit scores are exact in float32, which lets the Pallas twin
-  # (`_balance_core`) extract and broadcast per-chunk maxima with MXU
-  # matmuls; the rank tiebreak keeps the winner unique.  With 16 random
-  # bits over <=144 members, two members share the top value ~0.2% of the
-  # time (the tie then leans to the higher rank) — far below what any
-  # distribution test resolves.
-  rank = ((x % csx) * csy + y % csy).astype(jnp.int32)  # < csx*csy <= 144
-
-  def chunk_rows(vals):
-    """(ncx, ncy) per-chunk values -> (ncx, H) row-replicated (tiny)."""
-    return jnp.broadcast_to(vals[:, :, None],
-                            (ncx, ncy, csy)).reshape(ncx, ncy * csy)[:, :h]
-
-  def pick(member, chan, want):
-    """Uniform random member cell per gated chunk -> (W, H) mask.
-
-    The per-chunk argmax comparison runs in the split (ncx, csx, H) domain
-    against tiny (ncx, H) row vectors, so the chunk->plane broadcasts stay
-    virtual inside the fused compare (a materialized (W, H) int32
-    broadcast per pick cost ~0.8 ms/tick at 4096 envs).
-    """
-    bits = _srl(_cell_bits(seed, chan, w, h), 16)
-    score = jnp.where(member, (bits << 8) | rank, -1)
-    sp = jnp.full((ncx * csx, h), -1, score.dtype).at[:w].set(score)
-    sp3 = sp.reshape(ncx, csx, h)
-    rmax = jnp.max(sp3, 1)                                  # (ncx, H)
-    cp = jnp.full((ncx, ncy * csy), -1, score.dtype).at[:, :h].set(rmax)
-    best = jnp.max(cp.reshape(ncx, ncy, csy), 2)            # (ncx, ncy)
-    hit3 = ((sp3 == chunk_rows(best)[:, None, :]) & (sp3 >= 0)
-            & chunk_rows(want)[:, None, :])
-    return hit3.reshape(ncx * csx, h)[:w]
-
-  despawn = jnp.zeros((w, h), bool)
-  spawn_masks = []
-  for i, etype in enumerate(BAL_CLASSES):
-    # Despawn: uniform random creature of the class in the chunk, removed
-    # when far enough from the player (env.py:175-179).
-    despawn = despawn | (pick(T == etype, 8 + i, want_despawn[i])
-                         & (pdist >= BAL_DESPAN[i]))
-    # Spawn: uniform random cell of the class material (occupied cells are
-    # candidates too — the reference picks first, then fails on occupancy).
-    spawn_masks.append(pick(M == BAL_MATERIAL[i], 11 + i, want_spawn[i])
-                       & (pdist >= BAL_SPAN[i]))
-  return despawn, spawn_masks
-
-
-def _apply_balance(state: State, despawn: jax.Array, spawn_masks,
-                   cfg: EnvConfig) -> State:
-  """Apply balance deltas: removals, then spawns in class-priority order."""
-  T = state.ent.etype.astype(jnp.int32)
-  Hp = state.ent.health.astype(jnp.int32)
-  A = state.ent.aux.astype(jnp.int32)
-  despawn = despawn.reshape(-1)
-  T = jnp.where(despawn & (T > rules.E_PLAYER), 0, T)
-  for i, etype in enumerate(BAL_CLASSES):
-    ok = spawn_masks[i].reshape(-1) & (T == 0)
-    T = jnp.where(ok, etype, T)
-    Hp = jnp.where(ok, TYPE_HEALTH[etype], Hp)
-    A = jnp.where(ok, 0, A)
-  ent = state.ent.replace(etype=T.astype(state.ent.etype.dtype),
-                          health=Hp.astype(state.ent.health.dtype),
-                          aux=A.astype(state.ent.aux.dtype))
-  return state.replace(ent=ent)
+  cell = jnp.arange(w * h, dtype=jnp.int32)
+  onehot = jnp.asarray(_chunk_tables(cfg))
+  i32 = lambda a: a.astype(jnp.int32)
+  occp = (jnp.zeros((w * h,), jnp.int32) if occ is None
+          else i32(occ).reshape(-1))
+  light = state_lib.daylight(state.step, cfg.day_length).reshape(1)
+  T1, Hp1, A1, tc1 = _balance_core(
+      cell, i32(state.mat_map), i32(state.ent.etype),
+      i32(state.ent.health), i32(state.ent.aux), occp,
+      i32(state.chunk_touched.reshape(nch)), light.astype(jnp.float32),
+      state.player.pos[..., 0].reshape(1),
+      state.player.pos[..., 1].reshape(1), seed.reshape(1), onehot, cfg)
+  ent = state.ent.replace(etype=T1.astype(state.ent.etype.dtype),
+                          health=Hp1.astype(state.ent.health.dtype),
+                          aux=A1.astype(state.ent.aux.dtype))
+  return state.replace(ent=ent, chunk_touched=tc1.reshape(ncx, ncy) != 0)
 
 
 def _chunk_tables(cfg: EnvConfig):
@@ -1043,27 +936,28 @@ def _balance_core(cell, M, T, Hp, A, occ, touched, light, px, py, seed,
                   onehot, cfg):
   """Chunk balancing (env.py:141-179) on flat cell planes — backend-shared.
 
-  The plane-domain twin of `_balance_phase` + `_apply_balance` + the
-  chunk_touched bookkeeping of `balance_group_finish`: bit-identical
-  results (same gate hashes, same pick scores, exact per-chunk maxima),
-  but every intermediate lives in the caller's domain — inside the Pallas
-  kernel that means VMEM, where the XLA phase materialized ~30 (N, W, H)
-  intermediates to HBM (~3.3 ms per pass at 4096 envs, profiled).
+  The single source of truth for the balance phase, shared by every
+  backend (`_balance_apply` runs it per env for the jnp paths, the group
+  path batches it through `_balance_pallas`), so results are bit-identical
+  by construction.  Inside the Pallas kernel every intermediate lives in
+  VMEM; the round-2 XLA phase materialized ~30 (N, W, H) intermediates to
+  HBM (~3.3 ms per pass at 4096 envs, profiled).
 
   Two plane<->chunk primitives replace the reference's per-chunk Python
   loop (env.py:157-179):
 
-  * chunk reductions (counts, occupancy) ride the MXU as one-hot matmuls
-    against the static (C, NCH) cell->chunk matrix — single-pass bf16 is
-    exact here because every operand is {0, 1} and the MXU accumulates in
-    float32 (the round-2 kernel ran these and the re-broadcasts at
-    Precision.HIGHEST, a multi-pass mode that made the balance launch
-    ~4.5 ms; the whole pass is now ~matmul-free on the exactness side);
-  * the per-chunk argmax of `pick` runs as a segmented suffix-max (4
-    log-step shifted maxima per axis, chunk boundaries masked), leaving
-    each chunk's maximum at its head cell, then a segmented log-step
-    head broadcast (4 shifted selects per axis) carries it back to every
-    cell — pure int32 lane ops, exact for the 24-bit scores, no MXU.
+  * chunk reductions (counts, occupancy) and the per-chunk value
+    broadcasts ride the MXU as one-hot matmuls against the static
+    (C, NCH) cell->chunk matrix — single-pass bf16 is exact because
+    every value stays below 2^8 and the MXU accumulates in float32
+    (the round-2 kernel ran these at Precision.HIGHEST, a multi-pass
+    mode that made the balance launch ~4.5 ms);
+  * the reference's "uniform random member of this chunk" picks run as
+    ONE segmented prefix-count ladder over a packed member plane (see
+    the pick section below) — exactly uniform, replacing round 3's six
+    argmax ladders over random-score planes (~144 shifted-max ops and
+    six per-cell hash evaluations; the argmax also leaned ~0.2% into
+    score ties, which the prefix scheme has none of).
 
   ``touched``: (.., NCH) int32 0/1 chunk lanes.  ``occ``: int32 plane of
   extra occupancy to fold into touched before balancing (the group path's
@@ -1130,47 +1024,84 @@ def _balance_core(cell, M, T, Hp, A, occ, touched, light, px, py, seed,
                 | want_spawn[i].astype(jnp.int32) << (3 + i))
   wantcell = bcast(wantbits).astype(jnp.int32)
 
-  rank = (x % csx) * csy + y % csy
-  neg1 = jnp.int32(-1)
+  # --- uniform member picks via segmented prefix counts ------------------
+  # The reference picks a uniform random member (creature / material cell)
+  # per gated chunk (env.py:157-179).  Instead of per-class argmaxes over
+  # random score planes (round 3: 6 x 24 shifted-max/broadcast ladders),
+  # enumerate each chunk's members in lane order with ONE segmented
+  # prefix-count ladder over a packed plane — the winner is the member
+  # whose 0-based in-chunk index equals a per-chunk uniform draw
+  # r = floor(u * count): exactly uniform (the old 24-bit argmax leaned
+  # ~0.2% into ties; this has no ties at all).
+  #
+  # Five member fields (despawn: per-class creatures; spawn: grass/path
+  # cells — zombie and cow SHARE the grass field: picks over the same
+  # member set from independent r draws are independent uniforms, exactly
+  # like two reference draws).  Fields are 8 bits; prefix counts are
+  # bounded by the chunk cell count, asserted below.
+  assert csx * csy <= 255, 'prefix-count fields overflow 8 bits'
+  mem = [T == e for e in BAL_CLASSES]
+  mem.append(M == rules.MAT_GRASS)
+  mem.append(M == rules.MAT_PATH)
+  SPAWN_MEM = (3, 4, 3)  # zombie->grass, skeleton->path, cow->grass
+  counts = counts + [grass_n, path_n]
+
   ox, oy = x % csx, y % csy
+  # Bottom in-chunk y-offset (partial last chunk shrinks it).
+  bot = jnp.minimum(csy - 1, (h - 1) - (y - oy))
 
-  def chunk_max(score):
-    """Per-chunk max, re-broadcast per cell (exact: 24-bit scores).
+  def chunk_prefix(pm):
+    """Inclusive in-chunk member count up to each cell, in (x, y) lane
+    order, all packed fields at once (adds never cross 8-bit fields).
 
-    Suffix-max leaves the chunk max at the head cell (ox == oy == 0);
-    the head broadcast then carries it back with in-chunk log-step
-    shifted selects (source `off - s >= 0` stays in the chunk, and the
-    doubling order guarantees the source already holds the head value).
+    Three select/add ladders: y-scan within chunk columns, bottom-value
+    broadcast up each column (copy-based, packed-safe), then an
+    exclusive column scan along x.
     """
-    for s in (1, 2, 4, 8):                  # y-axis: suffix max to y-heads
-      ok = (oy + s < csy) & (y + s < h)
-      score = jnp.maximum(score,
-                          jnp.where(ok, jnp.roll(score, -s, axis=-1), neg1))
-    for s in (1, 2, 4, 8):                  # x-axis: suffix max to heads
-      ok = (ox + s < csx) & (x + s < w)
-      score = jnp.maximum(
-          score, jnp.where(ok, jnp.roll(score, -s * h, axis=-1), neg1))
-    for s in (1, 2, 4, 8):                  # head -> chunk, x then y
-      score = jnp.where(ox >= s, jnp.roll(score, s * h, axis=-1), score)
-    for s in (1, 2, 4, 8):
-      score = jnp.where(oy >= s, jnp.roll(score, s, axis=-1), score)
-    return score
+    iy = pm
+    for s in (1, 2, 4, 8):                  # inclusive y-scan
+      iy = iy + jnp.where(oy >= s, jnp.roll(iy, s, axis=-1), 0)
+    tot = iy
+    for s in (1, 2, 4, 8):                  # column total to every cell
+      tot = jnp.where(oy + s <= bot, jnp.roll(tot, -s, axis=-1), tot)
+    ex = jnp.where(ox >= 1, jnp.roll(tot, h, axis=-1), 0)
+    for s in (1, 2, 4, 8):                  # exclusive x-scan of totals
+      ex = ex + jnp.where(ox >= s, jnp.roll(ex, s * h, axis=-1), 0)
+    return ex + iy
 
-  def pick(member, chan, wbit):
-    bits = _srl(_cell_bits_plane(seed, chan, x, y), 16)
-    score = jnp.where(member, (bits << 8) | rank, neg1)
-    return ((score == chunk_max(score)) & (score >= 0)
+  pmA = (mem[0].astype(jnp.int32) | mem[1].astype(jnp.int32) << 8
+         | mem[2].astype(jnp.int32) << 16 | mem[3].astype(jnp.int32) << 24)
+  prefA = chunk_prefix(pmA)
+  prefB = chunk_prefix(mem[4].astype(jnp.int32))
+  pref = [prefA & 255, _srl(prefA, 8) & 255, _srl(prefA, 16) & 255,
+          _srl(prefA, 24), prefB]
+
+  # Per-chunk uniform indices r = min(floor(u * count), count - 1); empty
+  # chunks yield -1 (matches nothing).  Stream: same counter-hash family
+  # as the gates, disjoint multiplier indices (gates use 1..6*NCH).
+  def rdraw(j, cnt):
+    v = seed + _i32c(0x27D4EB2F) * (6 * ncx * ncy + 1 + gl * 6 + j)
+    u = _srl(_fmix(_fmix(v)), 8).astype(f32) * (1.0 / (1 << 24))
+    return jnp.minimum(jnp.floor(u * cnt.astype(f32)), cnt - 1)
+
+  # r values stay < 256 so the per-pick broadcast matmul is exact in bf16.
+  rcell = [bcast(rdraw(j, counts[m])).astype(jnp.int32)
+           for j, m in enumerate(list(range(3)) + list(SPAWN_MEM))]
+
+  def pick(i, memplane, prefplane, rplane, wbit):
+    return (memplane & (prefplane - 1 == rplane)
             & ((_srl(wantcell, wbit) & 1) > 0))
 
   pdist = jnp.abs(x - px) + jnp.abs(y - py)
   despawn = jnp.zeros(cell.shape, bool)
   for i, etype in enumerate(BAL_CLASSES):
-    despawn = despawn | (pick(T == etype, 8 + i, i)
+    despawn = despawn | (pick(i, mem[i], pref[i], rcell[i], i)
                          & (pdist >= BAL_DESPAN[i]))
   T1 = jnp.where(despawn & (T > rules.E_PLAYER), 0, T)
   Hp1, A1 = Hp, A
   for i, etype in enumerate(BAL_CLASSES):
-    ok = (pick(M == BAL_MATERIAL[i], 11 + i, 3 + i)
+    m = SPAWN_MEM[i]
+    ok = (pick(3 + i, mem[m], pref[m], rcell[3 + i], 3 + i)
           & (pdist >= BAL_SPAN[i]) & (T1 == 0))
     T1 = jnp.where(ok, etype, T1)
     Hp1 = jnp.where(ok, TYPE_HEALTH[etype], Hp1)
@@ -1415,8 +1346,28 @@ def _tick_pallas(states: State, actions, s_player, s_mob,
       player=player)
 
 
+@struct.dataclass
+class GroupSnaps:
+  """Per-tick render snapshots from :func:`step_group_batch` for ticks
+  0..K-2 (the group's last tick is rendered from the post-balance,
+  post-reset state by the caller).  Everything the renderer reads is
+  compressed to one uint8 plane per tick — material id (4 bits) | cell
+  sprite id (4 bits, the render.pack_cells encoding) — plus player
+  scalar columns.  Leaves are tick-major so the downstream flatten to
+  (K-1)*N frame rows is a free reshape (the previous (N, K-1, C)
+  transpose cost ~6 ms/group at 4096 envs).
+  """
+
+  packed: jax.Array   # ((K-1), N, C) uint8 packed mid | ctex<<4 per cell
+  px: jax.Array       # ((K-1), N, 1) int32 player x
+  py: jax.Array       # ((K-1), N, 1) int32 player y
+  facing: jax.Array   # ((K-1), N, 1) int32 player facing
+  sleeping: jax.Array  # ((K-1), N, 1) int32 0/1
+  inv: jax.Array      # ((K-1), N, 16) int32 inventory rows per tick
+
+
 def step_group_batch(states: State, actions: jax.Array, cfg: EnvConfig,
-                     block: int = 32):
+                     block: int = 32, snapshots: bool = False):
   """K ticks as ONE fused Pallas kernel — planes stay VMEM-resident.
 
   The per-tick kernel (:func:`_tick_pallas`) still pays, per tick, one HBM
@@ -1438,6 +1389,13 @@ def step_group_batch(states: State, actions: jax.Array, cfg: EnvConfig,
   ``raw`` is a StepOut with (K, N) leaves of *unlatched* per-tick results
   and ``occ_pre`` is the (N, C) OR of post-tick occupancy over ticks
   1..K-1 (what the group-end balance's chunk_touched must see).
+
+  ``snapshots``: additionally emit per-tick render snapshots
+  (:class:`GroupSnaps`, appended to the return tuple) for ticks 0..K-2 —
+  the fused pixel path (BASELINE config 3): the reference renders an
+  observation every step (env.py:96, :120-133), and emitting the packed
+  channels from VMEM costs ~2 bytes/cell/tick of HBM writes instead of
+  falling back to per-tick kernel launches.
   """
   from jax.experimental import pallas as pl
   from jax.experimental.pallas import tpu as pltpu
@@ -1470,7 +1428,8 @@ def step_group_batch(states: State, actions: jax.Array, cfg: EnvConfig,
              py_ref, sl_ref, hu_ref, th_ref, fa_ref, re_ref, lh_ref,
              st_ref, elh_ref, k0_ref, k1_ref, inv_ref, ach_ref, unl_ref,
              om, ot, oh, oa, of_, oocc, opx, opy, ofac, osl, ohu, oth,
-             ofa, ore, olh, oelh, oinv, oach, ounl, orew, odone, odead):
+             ofa, ore, olh, oelh, oinv, oach, ounl, orew, odone, odead,
+             *snap_refs):
     cell = jax.lax.broadcasted_iota(jnp.int32, (block, c), 1)
     i32 = lambda r: r[...].astype(jnp.int32)
     M, T, Hp, A, F = i32(m_ref), i32(t_ref), i32(h_ref), i32(a_ref), \
@@ -1514,6 +1473,29 @@ def step_group_batch(states: State, actions: jax.Array, cfg: EnvConfig,
       orew[:, t:t + 1] = reward
       odone[:, t:t + 1] = done.astype(jnp.int32)
       odead[:, t:t + 1] = dead.astype(jnp.int32)
+      if snapshots and t < k - 1:
+        # Everything the renderer reads, packed to one uint8 plane +
+        # scalar columns: material id | cell sprite id (ctex, the
+        # render.pack_cells encoding; ripe stands in for aux — the
+        # renderer only tests aux > 300 on plants).
+        osnap, opxs, opys, ofacs, osls, oinvs = snap_refs
+        ripe = ((T == rules.E_PLANT) & (A > 300)).astype(jnp.int32)
+        ctex = jnp.where(
+            T == rules.E_PLAYER, 1,
+            jnp.where(T == rules.E_COW, 6,
+                      jnp.where(T == rules.E_ZOMBIE, 7,
+                                jnp.where(T == rules.E_SKELETON, 8,
+                                          jnp.where(T == rules.E_ARROW,
+                                                    9 + F,
+                                                    jnp.where(
+                                                        T == rules.E_PLANT,
+                                                        13 + ripe, 0))))))
+        osnap[t] = (M | (ctex << 4)).astype(osnap.dtype)
+        opxs[t] = px
+        opys[t] = py
+        ofacs[t] = fac
+        osls[t] = slp.astype(jnp.int32)
+        oinvs[t] = inv
       if t < k - 1:
         occ = occ | T   # etype != 0 <=> occupied; OR keeps it cheap
 
@@ -1536,6 +1518,19 @@ def step_group_batch(states: State, actions: jax.Array, cfg: EnvConfig,
   lanes = lambda m, dt=jnp.int32: jax.ShapeDtypeStruct((np_, m), dt)
   spec = lambda width: pl.BlockSpec((block, width), lambda i: (i, 0),
                                     memory_space=pltpu.VMEM)
+  snap_specs, snap_shapes = [], []
+  if snapshots:
+    assert k >= 2, 'snapshots need at least a 2-tick group'
+    ni = rules.N_ITEMS
+    # Tick-major 3-D outputs: block (K-1, block, width), so the flatten
+    # to (K-1)*N rows downstream is a free reshape.
+    spec3 = lambda width: pl.BlockSpec((k - 1, block, width),
+                                       lambda i: (0, i, 0),
+                                       memory_space=pltpu.VMEM)
+    sd3 = lambda width, dt: jax.ShapeDtypeStruct((k - 1, np_, width), dt)
+    snap_specs = [spec3(c)] + [spec3(1)] * 4 + [spec3(ni)]
+    snap_shapes = ([sd3(c, jnp.uint8)] + [sd3(1, jnp.int32)] * 4
+                   + [sd3(ni, jnp.int32)])
   outs = pl.pallas_call(
       kernel,
       grid=(np_ // block,),
@@ -1544,7 +1539,8 @@ def step_group_batch(states: State, actions: jax.Array, cfg: EnvConfig,
                    spec(rules.N_ACHIEVEMENTS)]),
       out_specs=([spec(c)] * 6 + [spec(1)] * 10
                  + [spec(rules.N_ITEMS), spec(rules.N_ACHIEVEMENTS),
-                    spec(rules.N_ACHIEVEMENTS)] + [spec(k)] * 3),
+                    spec(rules.N_ACHIEVEMENTS)] + [spec(k)] * 3
+                 + snap_specs),
       out_shape=([plane(states.mat_map.dtype), plane(states.ent.etype.dtype),
                   plane(states.ent.health.dtype),
                   plane(states.ent.aux.dtype),
@@ -1552,14 +1548,16 @@ def step_group_batch(states: State, actions: jax.Array, cfg: EnvConfig,
                  + [colsd] * 10
                  + [lanes(rules.N_ITEMS), lanes(rules.N_ACHIEVEMENTS),
                     lanes(rules.N_ACHIEVEMENTS)]
-                 + [lanes(k, jnp.float32), lanes(k), lanes(k)]),
+                 + [lanes(k, jnp.float32), lanes(k), lanes(k)]
+                 + snap_shapes),
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=100 * 1024 * 1024),
       interpret=jax.default_backend() != 'tpu',  # CPU: test/debug mode
   )(*ins)
-  outs = [o[:n] for o in outs]
+  outs = ([o[:n] for o in outs[:22]]          # env-major outputs
+          + [o[:, :n] for o in outs[22:]])    # tick-major snapshot outputs
   (Mo, To, Ho, Ao, Fo, occ_pre, px2, py2, fac2, slp2, hu2, th2, fa2, re2,
-   lh2, elh2, inv2, ach2, unl2, rew, done, dead) = outs
+   lh2, elh2, inv2, ach2, unl2, rew, done, dead) = outs[:22]
   player = Player(
       pos=jnp.concatenate([px2, py2], -1), facing=fac2[:, 0],
       inventory=inv2, achievements=ach2, sleeping=slp2[:, 0] != 0,
@@ -1571,6 +1569,10 @@ def step_group_batch(states: State, actions: jax.Array, cfg: EnvConfig,
       env_last_health=elh2[:, 0], unlocked=unl2 != 0)
   raw = StepOut(reward=rew.T, done=done.T != 0, dead=dead.T != 0,
                 ended=done.T != 0)
+  if snapshots:
+    snaps = GroupSnaps(packed=outs[22], px=outs[23], py=outs[24],
+                       facing=outs[25], sleeping=outs[26], inv=outs[27])
+    return states, raw, occ_pre, snaps
   return states, raw, occ_pre
 
 
@@ -1584,15 +1586,7 @@ def balance_group_finish(state: State, k_balance: jax.Array,
   update includes the post-balance spawns (env.py:90-95 + the defaultdict
   growth on add/move, engine.py:36,:57,:78-79).
   """
-  w, h = cfg.area
-  touched = state.chunk_touched | _chunk_reduce(
-      (occ_pre != 0).reshape(w, h), cfg, False, jnp.any)
-  state = state.replace(chunk_touched=touched)
-  despawn, spawns = _balance_phase(state, k_balance, cfg)
-  state = _apply_balance(state, despawn, spawns, cfg)
-  touched = state.chunk_touched | _chunk_reduce(
-      (state.ent.etype > 0).reshape(w, h), cfg, False, jnp.any)
-  return state.replace(chunk_touched=touched)
+  return _balance_apply(state, k_balance, cfg, occ=occ_pre)
 
 
 def _finish_tick(state: State, k_balance: jax.Array, cfg: EnvConfig,
@@ -1601,21 +1595,13 @@ def _finish_tick(state: State, k_balance: jax.Array, cfg: EnvConfig,
   w, h = cfg.area
   step_ = state.step
 
-  def _no_balance(state, key):
-    del key
-    zero = jnp.zeros((w, h), bool)
-    return zero, [zero] * len(BAL_CLASSES)
-
-  if balance is False:
-    despawn, spawns = _no_balance(state, k_balance)
-  elif balance is True:
-    despawn, spawns = _balance_phase(state, k_balance, cfg)
-  else:
-    despawn, spawns = jax.lax.cond(
+  if balance is True:
+    state = _balance_apply(state, k_balance, cfg)
+  elif balance is None:
+    state = jax.lax.cond(
         (step_ % cfg.balance_every) == 0,
-        lambda s, k: _balance_phase(s, k, cfg), _no_balance,
+        lambda s, k: _balance_apply(s, k, cfg), lambda s, k: s,
         state, k_balance)
-  state = _apply_balance(state, despawn, spawns, cfg)
 
   # Track chunks that held entities (the reference's defaultdict keys,
   # engine.py:36/:57/:78-79, consumed by env.py:90-95).

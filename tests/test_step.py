@@ -490,6 +490,48 @@ class TestGroupKernel:
             err_msg=f'group {g}: {jax.tree_util.keystr(path)}')
 
 
+class TestGroupObs:
+  def test_group_obs_matches_per_tick_render(self):
+    """vec_step_group_obs (kernel snapshots + one batched render, pallas
+    interpret mode off-TPU) is bit-identical — state AND frames — to the
+    per-tick jnp path it documents: K vec_step(reset_every=K,
+    balance=(i==K-1)) calls each followed by a batched render."""
+    import dataclasses
+    import jax
+    from crafter_tpu.env import (CrafterEnv, home_keys, vec_reset,
+                                 vec_step_group_obs)
+
+    n = 13
+    cfg = dataclasses.replace(CFG, length=25)
+    k = cfg.balance_every
+    core = CrafterEnv(cfg)
+    vs0 = jax.jit(vec_reset, static_argnums=1)(home_keys(11, n), cfg)
+    actions = np.asarray(
+        jax.random.randint(jax.random.key(8), (2 * k, n), 0, 17))
+    cfg_pl = dataclasses.replace(cfg, engine='pallas')
+    cfg_np = dataclasses.replace(cfg, engine='jnp')
+    fp = jax.jit(lambda v, a: vec_step_group_obs(v, a, cfg_pl, 4, core))
+    fj = jax.jit(lambda v, a: vec_step_group_obs(v, a, cfg_np, 4, core))
+    va, vb = vs0, vs0
+    for g in range(2):
+      va, oa, obs_a = fp(va, actions[g * k:(g + 1) * k])
+      vb, ob, obs_b = fj(vb, actions[g * k:(g + 1) * k])
+      np.testing.assert_array_equal(np.asarray(obs_a), np.asarray(obs_b),
+                                    err_msg=f'group {g} frames')
+      for name in ('reward', 'done', 'dead', 'ended'):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(oa, name)), np.asarray(getattr(ob, name)),
+            err_msg=f'{name} group {g}')
+      flat_a = jax.tree_util.tree_flatten_with_path(va)[0]
+      flat_b = jax.tree.leaves(vb)
+      for (path, x), y in zip(flat_a, flat_b):
+        if jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key):
+          x, y = jax.random.key_data(x), jax.random.key_data(y)
+        np.testing.assert_array_equal(
+            np.asarray(x), np.asarray(y),
+            err_msg=f'group {g}: {jax.tree_util.keystr(path)}')
+
+
 class TestPallasEngine:
   def test_pallas_engine_matches_jnp(self):
     """The fused Pallas tick (interpret mode off-TPU) is bit-identical to

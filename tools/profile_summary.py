@@ -34,10 +34,11 @@ def capture(num_envs: int, iters: int, trace_dir: str,
   import jax
   import jax.numpy as jnp
   from crafter_tpu.config import EnvConfig
-  from crafter_tpu.env import (home_keys, vec_reset_chunked, vec_step,
-                               vec_step_group)
+  from crafter_tpu.env import (CrafterEnv, home_keys, vec_reset_chunked,
+                               vec_step, vec_step_group, vec_step_group_obs)
 
   cfg = EnvConfig(reward=False)
+  core = CrafterEnv(cfg) if render else None
   n = num_envs
   vs = vec_reset_chunked(home_keys(0, n), cfg, chunk=min(n, 4096))
   rb = max(32, n // 128)
@@ -55,21 +56,28 @@ def capture(num_envs: int, iters: int, trace_dir: str,
       v, key = carry
       key, k = jax.random.split(key)
       a = jax.random.randint(k, (kk, n), 0, 17)
+      if render:
+        v, outs, obs = vec_step_group_obs(v, a, cfg, min(n, kk * rb), core)
+        return (v, key), (outs.done.sum()
+                          + obs[..., 0, 0, 0].astype(jnp.int32).sum())
+      aggr = jnp.int32(0)
       if group:
         v, _outs = vec_step_group(v, a, cfg, min(n, kk * rb))
       else:
         for i in range(kk):
           v, out, _ = vec_step(v, a[i], cfg, rb, balance=(i == kk - 1))
-      return (v, key), ()
-    (v, key), _ = jax.lax.scan(body, (v, key), None, length=groups)
-    return v
+      return (v, key), aggr
+    (v, key), aggr = jax.lax.scan(body, (v, key), None, length=groups)
+    return v, aggr.sum()
 
   key = jax.random.key(0)
-  v = loop(vs, key)
-  v.env.step.sum().item()  # host copy: reliable barrier (PERF.md)
+  v, aggr = loop(vs, key)
+  # Host copies: the only reliable barrier (PERF.md); aggr also keeps the
+  # render path alive against DCE.
+  v.env.step.sum().item(); aggr.item()
   jax.profiler.start_trace(trace_dir)
-  v = loop(v, key)
-  v.env.step.sum().item()
+  v, aggr = loop(v, key)
+  v.env.step.sum().item(); aggr.item()
   jax.profiler.stop_trace()
   return groups * kk
 
@@ -109,11 +117,14 @@ def main():
   parser.add_argument('--top', type=int, default=20)
   parser.add_argument('--group', action='store_true',
                       help='profile the fused group-kernel path')
+  parser.add_argument('--render', action='store_true',
+                      help='profile the fused pixel path (group + frames)')
   args = parser.parse_args()
   trace_dir = args.trace or '/tmp/crafter_trace'
   ticks = args.iters
   if not args.trace:
-    ticks = capture(args.num_envs, args.iters, trace_dir, args.group)
+    ticks = capture(args.num_envs, args.iters, trace_dir, args.group,
+                    args.render)
   summarize(trace_dir, ticks, args.top)
 
 
