@@ -485,10 +485,11 @@ def vec_step_group_obs(vs: VecState, actions: jax.Array, cfg: EnvConfig,
   c = cfg.area[0] * cfg.area[1]
   km1 = k - 1
   fin = vs.env
-  packed = jnp.concatenate([
-      snaps.packed.reshape(km1 * n, c),
+  # The kernel left snapshot row K-1 unwritten; drop the final frames'
+  # packed plane into it in place (no concat copy of the big buffer).
+  packed = snaps.packed.at[k - 1].set(
       render_lib.pack_cells(fin.mat_map, fin.ent.etype, fin.ent.aux,
-                            fin.ent.facing)])
+                            fin.ent.facing)).reshape(k * n, c)
   ppos = jnp.concatenate([
       jnp.stack([snaps.px.reshape(-1), snaps.py.reshape(-1)], -1),
       fin.player.pos])
@@ -505,11 +506,13 @@ def vec_step_group_obs(vs: VecState, actions: jax.Array, cfg: EnvConfig,
           jnp.broadcast_to(key0[None], (km1, n)).reshape(-1),
           (step0[None, :] + 1 + jnp.arange(km1)[:, None]).reshape(-1)),
       jax.vmap(render_lib._noise_seed)(fin.key, fin.step)])
-  frames = render_lib.render_frames(packed, ppos, pfac, slp, inv, steps,
-                                    seeds, cfg, core.atlas, cfg.size)
+  px = render_lib.render_frames(packed, ppos, pfac, slp, inv, steps,
+                                 seeds, cfg, core.atlas, cfg.size,
+                                 packed_out=True)
   # Rows are already (tick 0..K-2) x N followed by the N final frames —
-  # exactly (K, N) order, so the split is a free reshape.
-  obs = frames.reshape((k, n) + frames.shape[1:])
+  # exactly (K, N) order — so the batch split is a free int32 reshape and
+  # the uint8 unpack lands directly in the output shape (one copy).
+  obs = render_lib._frame_image(px.reshape(k, n, c), cfg.size)
   return vs, outs, obs
 
 

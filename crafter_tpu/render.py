@@ -419,13 +419,16 @@ def render_frames(packed: jax.Array, ppos: jax.Array, pfacing: jax.Array,
                   sleeping: jax.Array, inventory: jax.Array,
                   steps: jax.Array, seeds: jax.Array, cfg: EnvConfig,
                   atlas: Atlas, size: Tuple[int, int] = (64, 64),
-                  block: int = 64) -> jax.Array:
+                  block: int = 64, packed_out: bool = False) -> jax.Array:
   """A batch of frames as ONE Pallas kernel (bit-identical to
   vmap(:func:`render_fields`) — same ``_render_core`` trace).
 
   ``packed``: (B, C_cells) packed cell planes (:func:`pack_cells` or the
   group kernel's snapshots); ``seeds``: (B,) int32 from
-  :func:`_noise_seed`.  Returns (B, size[1], size[0], 3) uint8.
+  :func:`_noise_seed`.  Returns (B, size[1], size[0], 3) uint8, or the
+  raw (B, C) int32 r|g<<8|b<<16 pixel lanes when ``packed_out`` (callers
+  that reshape the batch first pay the one uint8 unpack copy in the
+  final shape; see :func:`_frame_image`).
   """
   from jax.experimental import pallas as pl
   from jax.experimental.pallas import tpu as pltpu
@@ -471,6 +474,8 @@ def render_frames(packed: jax.Array, ppos: jax.Array, pfacing: jax.Array,
       interpret=jax.default_backend() != 'tpu',  # CPU: test/debug mode
   )(*ins, atlas.mat_planes, atlas.spr_planes, atlas.expand,
     atlas.vignette, atlas.view_mask)
+  if packed_out:
+    return px[:n]
   return _frame_image(px[:n], size)
 
 

@@ -1358,7 +1358,11 @@ class GroupSnaps:
   transpose cost ~6 ms/group at 4096 envs).
   """
 
-  packed: jax.Array   # ((K-1), N, C) uint8 packed mid | ctex<<4 per cell
+  packed: jax.Array   # (K, N, C) uint8 packed mid | ctex<<4 per cell;
+  #                       row K-1 is UNWRITTEN (the caller renders the
+  #                       group's last frame from the post-reset state and
+  #                       fills that row in place, avoiding a 190 MB/group
+  #                       concat at 4096 envs)
   px: jax.Array       # ((K-1), N, 1) int32 player x
   py: jax.Array       # ((K-1), N, 1) int32 player y
   facing: jax.Array   # ((K-1), N, 1) int32 player facing
@@ -1524,13 +1528,14 @@ def step_group_batch(states: State, actions: jax.Array, cfg: EnvConfig,
     ni = rules.N_ITEMS
     # Tick-major 3-D outputs: block (K-1, block, width), so the flatten
     # to (K-1)*N rows downstream is a free reshape.
-    spec3 = lambda width: pl.BlockSpec((k - 1, block, width),
-                                       lambda i: (0, i, 0),
-                                       memory_space=pltpu.VMEM)
-    sd3 = lambda width, dt: jax.ShapeDtypeStruct((k - 1, np_, width), dt)
-    snap_specs = [spec3(c)] + [spec3(1)] * 4 + [spec3(ni)]
-    snap_shapes = ([sd3(c, jnp.uint8)] + [sd3(1, jnp.int32)] * 4
-                   + [sd3(ni, jnp.int32)])
+    spec3 = lambda rows, width: pl.BlockSpec((rows, block, width),
+                                             lambda i: (0, i, 0),
+                                             memory_space=pltpu.VMEM)
+    sd3 = lambda rows, width, dt: jax.ShapeDtypeStruct((rows, np_, width),
+                                                       dt)
+    snap_specs = [spec3(k, c)] + [spec3(k - 1, 1)] * 4 + [spec3(k - 1, ni)]
+    snap_shapes = ([sd3(k, c, jnp.uint8)] + [sd3(k - 1, 1, jnp.int32)] * 4
+                   + [sd3(k - 1, ni, jnp.int32)])
   outs = pl.pallas_call(
       kernel,
       grid=(np_ // block,),

@@ -24,7 +24,7 @@ import json
 
 
 def capture(num_envs: int, iters: int, trace_dir: str,
-            group: bool = False) -> int:
+            group: bool = False, render: bool = False) -> int:
   """Runs the traced loop; returns the number of ticks actually executed
   (iters rounded down to whole balance-cadence groups), which summarize()
   must use as the per-iteration normalizer."""
