@@ -75,6 +75,30 @@ class CrafterEnv:
   def observe(self, state: State) -> jax.Array:
     return render_lib.render(state, self.cfg, self.atlas, self.cfg.size)
 
+  def observe_px(self, states: State) -> jax.Array:
+    """Raw packed pixel lanes (N, C) int32 r|g<<8|b<<16 for a batch —
+    the transport format of the training pipeline (ppo.py): skips the
+    uint8 NHWC unpack in the hot loop (CnnPolicy consumes packed lanes
+    directly).  Pallas kernel on TPU, vmapped jnp elsewhere
+    (bit-identical — shared `_render_core` trace)."""
+    engine = self.cfg.engine
+    if engine == 'auto':
+      engine = 'pallas' if jax.default_backend() == 'tpu' else 'jnp'
+    if engine == 'jnp':
+      return jax.vmap(lambda st: render_lib.render_px_fields(
+          st.mat_map, st.ent.etype, st.ent.aux, st.ent.facing,
+          st.player.pos, st.player.facing, st.player.sleeping,
+          st.player.inventory, st.step, st.key, self.cfg,
+          self.atlas))(states)
+    packed = render_lib.pack_cells(states.mat_map, states.ent.etype,
+                                   states.ent.aux, states.ent.facing)
+    seeds = jax.vmap(render_lib._noise_seed)(states.key, states.step)
+    return render_lib.render_frames(
+        packed, states.player.pos, states.player.facing,
+        states.player.sleeping.astype(jnp.int32), states.player.inventory,
+        states.step, seeds, self.cfg, self.atlas, self.cfg.size,
+        packed_out=True)
+
   def observe_batch(self, states: State) -> jax.Array:
     """Frames for a batch of envs: one Pallas render kernel on TPU,
     vmapped jnp elsewhere (bit-identical — shared `_render_core` trace)."""

@@ -24,14 +24,26 @@ class PolicyOutput:
 
 
 class CnnPolicy(nn.Module):
-  """NatureCNN trunk (8x8/4, 4x4/2, 3x3/1 convs + 512 dense) + two heads."""
+  """NatureCNN trunk (8x8/4, 4x4/2, 3x3/1 convs + 512 dense) + two heads.
+
+  Accepts either standard (..., H, W, 3) uint8 frames or the training
+  pipeline's packed transport format: (..., H*W) int32 lanes holding
+  r|g<<8|b<<16 per pixel (crafter_tpu.render.render_frames packed_out /
+  CrafterEnv.observe_px) — the unpack fuses into the input cast, keeping
+  uint8 NHWC relayouts out of the rollout/minibatch hot loops.
+  """
 
   n_actions: int = 17
   width: int = 512
+  input_hw: Any = (64, 64)
   compute_dtype: Any = jnp.bfloat16
 
   @nn.compact
   def __call__(self, obs: jax.Array) -> PolicyOutput:
+    if obs.dtype == jnp.int32:  # packed pixel lanes
+      h, w = self.input_hw
+      obs = jnp.stack([obs & 255, (obs >> 8) & 255, (obs >> 16) & 255],
+                      -1).reshape(obs.shape[:-1] + (h, w, 3))
     x = obs.astype(self.compute_dtype) / 255.0
     kw = dict(dtype=self.compute_dtype, param_dtype=jnp.float32)
     x = nn.relu(nn.Conv(32, (8, 8), strides=4, padding='VALID', **kw)(x))

@@ -98,6 +98,10 @@ class PPO:
     params = self.model.init(k_param, jnp.zeros((1,) + obs_shape, jnp.uint8))
     vec = vec_reset(home_keys(self.cfg.seed, self.cfg.num_envs),
                     self.env_cfg)
+    # Frames are stored as standard uint8 NHWC: every frame is consumed
+    # ~1+epochs times by the CNN, so unpacking once at render beats the
+    # packed-int32 transport (measured: packed obs cost ~11% end-to-end —
+    # the NHWC construction then ran per consumption instead of once).
     obs = self.core.observe_batch(vec.env)
     n = self.cfg.num_envs
     return PPOState(
@@ -109,16 +113,25 @@ class PPO:
 
   def _rollout(self, ts: PPOState) -> Tuple[PPOState, Transition, jax.Array]:
     cfg = self.cfg
+    k = self.env_cfg.balance_every
+    # When the rollout divides into whole balance-cadence groups, step the
+    # env on the group cadence: balance as a static branch on each group's
+    # last tick and ONE reset pass per K ticks (sized K * reset_batch) —
+    # no per-tick lax.cond plane copies, 1/K the worldgen dispatches.
+    # Same semantics as the fused bench/group path (env.py:vec_step_group
+    # docstring); the policy still acts every tick on that tick's frame.
+    grouped = cfg.rollout_len % k == 0 and cfg.rollout_len >= k
 
-    def one_step(carry, _):
+    def one_step(carry, i, balance=None, reset_every=1, rb=None):
       vec, obs, key = carry
       key, k_act = jax.random.split(key)
       out = self.model.apply(ts.params, obs)
       action = jax.random.categorical(k_act, out.logits)
       logp = jax.nn.log_softmax(out.logits)[
           jnp.arange(action.shape[0]), action]
-      vec, env_out, stepped = vec_step(vec, action, self.env_cfg,
-                                       cfg.reset_batch)
+      vec, env_out, stepped = vec_step(
+          vec, action, self.env_cfg, rb or cfg.reset_batch,
+          reset_every=reset_every, balance=balance)
       next_obs = self.core.observe_batch(vec.env)
       reward = (env_out.reward if self.env_cfg.reward
                 else jnp.zeros_like(env_out.reward))
@@ -128,8 +141,23 @@ class PPO:
                       achievements=stepped.player.achievements)
       return (vec, next_obs, key), tr
 
-    (vec, obs, key), traj = jax.lax.scan(
-        one_step, (ts.vec, ts.obs, ts.key), None, length=cfg.rollout_len)
+    if grouped:
+      def one_group(carry, _):
+        trs = []
+        for i in range(k):
+          carry, tr = one_step(carry, i, balance=(i == k - 1),
+                               reset_every=k, rb=k * cfg.reset_batch)
+          trs.append(tr)
+        return carry, jax.tree.map(lambda *xs: jnp.stack(xs), *trs)
+      (vec, obs, key), traj = jax.lax.scan(
+          one_group, (ts.vec, ts.obs, ts.key), None,
+          length=cfg.rollout_len // k)
+      traj = jax.tree.map(
+          lambda x: x.reshape((cfg.rollout_len,) + x.shape[2:]), traj)
+    else:
+      (vec, obs, key), traj = jax.lax.scan(
+          lambda c, _: one_step(c, 0), (ts.vec, ts.obs, ts.key), None,
+          length=cfg.rollout_len)
     last_value = self.model.apply(ts.params, obs).value
     ts = ts.replace(
         vec=vec, obs=obs, key=key,

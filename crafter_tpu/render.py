@@ -397,13 +397,13 @@ def render(state: State, cfg: EnvConfig, atlas: Atlas,
       state.player.inventory, state.step, state.key, cfg, atlas, size)
 
 
-def render_fields(mat_map: jax.Array, ent_etype: jax.Array,
-                  ent_aux: jax.Array, ent_facing: jax.Array,
-                  ppos: jax.Array, pfacing: jax.Array, sleeping: jax.Array,
-                  inventory: jax.Array, step: jax.Array, key: jax.Array,
-                  cfg: EnvConfig, atlas: Atlas,
-                  size: Tuple[int, int] = (64, 64)) -> jax.Array:
-  """:func:`render` on bare field arrays (jnp backend, one frame)."""
+def render_px_fields(mat_map: jax.Array, ent_etype: jax.Array,
+                     ent_aux: jax.Array, ent_facing: jax.Array,
+                     ppos: jax.Array, pfacing: jax.Array,
+                     sleeping: jax.Array, inventory: jax.Array,
+                     step: jax.Array, key: jax.Array, cfg: EnvConfig,
+                     atlas: Atlas) -> jax.Array:
+  """One frame as raw (C,) int32 r|g<<8|b<<16 pixel lanes (jnp backend)."""
   packed = pack_cells(mat_map, ent_etype, ent_aux, ent_facing)
   win79 = _window_prep(packed, ppos, pfacing, sleeping, inventory, cfg)
   d = state_lib.daylight(step, cfg.day_length).reshape(1, 1)
@@ -412,7 +412,19 @@ def render_fields(mat_map: jax.Array, ent_etype: jax.Array,
   px = _render_core(win79[None], d.astype(jnp.float32), slp, seed,
                     atlas.mat_planes, atlas.spr_planes, atlas.expand,
                     atlas.vignette, atlas.view_mask)
-  return _frame_image(px[0], size)
+  return px[0]
+
+
+def render_fields(mat_map: jax.Array, ent_etype: jax.Array,
+                  ent_aux: jax.Array, ent_facing: jax.Array,
+                  ppos: jax.Array, pfacing: jax.Array, sleeping: jax.Array,
+                  inventory: jax.Array, step: jax.Array, key: jax.Array,
+                  cfg: EnvConfig, atlas: Atlas,
+                  size: Tuple[int, int] = (64, 64)) -> jax.Array:
+  """:func:`render` on bare field arrays (jnp backend, one frame)."""
+  px = render_px_fields(mat_map, ent_etype, ent_aux, ent_facing, ppos,
+                        pfacing, sleeping, inventory, step, key, cfg, atlas)
+  return _frame_image(px, size)
 
 
 def render_frames(packed: jax.Array, ppos: jax.Array, pfacing: jax.Array,

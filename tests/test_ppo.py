@@ -37,6 +37,22 @@ class TestPPO:
     assert all(bool(jnp.allclose(a, b)) for a, b in
                zip(jax.tree.leaves(ts1.params), jax.tree.leaves(ts1b.params)))
 
+  def test_packed_obs_equivalence(self):
+    """CnnPolicy accepts the packed int32 pixel-lane transport
+    (CrafterEnv.observe_px) and produces bit-identical outputs to the
+    uint8 NHWC frames of the same states."""
+    from crafter_tpu.env import CrafterEnv, home_keys, vec_reset
+    ppo = tiny()
+    core = CrafterEnv(ppo.env_cfg)
+    vec = jax.jit(vec_reset, static_argnums=1)(home_keys(2, 4), ppo.env_cfg)
+    obs_u8 = core.observe_batch(vec.env)
+    obs_px = core.observe_px(vec.env)
+    ts = ppo.init(jax.random.key(0))
+    a = ppo.model.apply(ts.params, obs_u8)
+    b = ppo.model.apply(ts.params, obs_px)
+    np.testing.assert_array_equal(np.asarray(a.logits), np.asarray(b.logits))
+    np.testing.assert_array_equal(np.asarray(a.value), np.asarray(b.value))
+
   def test_entropy_near_uniform_at_init(self):
     ppo = tiny()
     ts = ppo.init(jax.random.key(0))
