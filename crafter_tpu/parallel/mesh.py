@@ -49,6 +49,50 @@ def replicate(tree, mesh: Mesh):
   return jax.tree.map(lambda leaf: jax.device_put(leaf, rep), tree)
 
 
+def make_sharded_group_step(mesh: Mesh, cfg, reset_batch: int):
+  """The multi-chip engine step: a dp-sharded VecState advanced one
+  balance-cadence group per call, each shard running its own fused
+  Pallas kernels over its local env rows via ``shard_map``.
+
+  jit's automatic (GSPMD) partitioning cannot split an opaque
+  ``pallas_call``, so the jnp engine is the only auto-shardable one;
+  this wrapper is how the Mosaic kernels scale across chips: env rows
+  are independent, so the group step runs unmodified per shard and no
+  collective is needed at all (stats reductions ride `psum_stats`).
+
+  The reset pass becomes per-shard with ``reset_batch // n_shards``
+  slots: when no shard overflows, exactly the same envs reset with
+  exactly the same fresh worlds as the single-device pass (each env's
+  world derives from its own home key), so results are bit-identical —
+  asserted in tests/test_sharding.py.
+
+  Returns ``step(vs, actions) -> (vs, outs)`` (jitted) for (K, N)
+  actions.
+  """
+  from jax.experimental.shard_map import shard_map
+
+  from ..env import vec_step_group
+
+  n_shards = mesh.devices.size
+  rb_local = max(1, reset_batch // n_shards)
+
+  def local_step(vs, actions):
+    return vec_step_group(vs, actions, cfg, rb_local)
+
+  def spec_of(leaf):
+    # Batch leaves shard on 'dp'; the scalar tick counter replicates.
+    return P() if leaf.ndim == 0 else P('dp')
+
+  @jax.jit
+  def step(vs, actions):
+    in_specs = (jax.tree.map(spec_of, vs), P(None, 'dp'))
+    out_specs = (jax.tree.map(spec_of, vs), P(None, 'dp'))
+    return shard_map(local_step, mesh=mesh, in_specs=in_specs,
+                     out_specs=out_specs, check_rep=False)(vs, actions)
+
+  return step
+
+
 def psum_stats(tree, mesh: Mesh):
   """All-reduce per-host stats over the mesh (ICI/DCN via XLA psum).
 

@@ -342,11 +342,16 @@ def _render_core(win79, daylight, sleeping, seed, mats, sprs, expand, vig,
   un3 = lambda v: (v & 255, _srl(v, 8) & 255, _srl(v, 16) & 255)
   b3 = un3(base)
   s3 = un3(spr)
-  alpha = (_srl(spr, 24) & 255).astype(f32) / 255.0
+  alpha = _srl(spr, 24) & 255
 
-  # Alpha-over blit with the reference's truncation (engine.py:276-284).
-  canv = [jnp.floor(255.0 * (alpha * (s.astype(f32) / 255.0)
-                             + (1.0 - alpha) * (b.astype(f32) / 255.0)))
+  # Alpha-over blit with the reference's truncation (engine.py:276-284):
+  # floor((a*s + (255-a)*b) / 255), computed in exact int32 via
+  # multiply-shift division ((n * 32897) >> 23 == n // 255 for all
+  # n <= 65025) — identical to the reference's float64 path.  A float
+  # formulation is NOT backend-stable: Mosaic lowers x/255 as a
+  # reciprocal multiply, flooring exact-integer results one short of
+  # XLA:TPU (caught by the hardware lane, tests/test_tpu.py).
+  canv = [(((alpha * s + (255 - alpha) * b) * 32897) >> 23).astype(f32)
           for s, b in zip(s3, b3)]
 
   # Night lighting (engine.py:189-196).  mask == 0 at daylight >= 0.5, so

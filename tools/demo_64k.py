@@ -1,25 +1,26 @@
-"""North-star config 4 demo: 64k envs sharded over a device mesh.
+"""North-star config 4 demo: huge env batches sharded over a device mesh.
 
-Runs the production sharded path at scale — `vec_reset` / `vec_step` with
-the env batch laid out over a 1-D 'dp' mesh (`NamedSharding`), stats
-all-reduced with a `psum` over the mesh — and prints one JSON line with
-throughput.  On this sandbox's single TPU chip the mesh has one device;
-on a pod slice the same script spans all chips (and, with
-`jax.distributed` initialized via `crafter_tpu.parallel.mesh.
-distributed_init`, all hosts — see tests/test_distributed.py for the
-multi-process wiring, which this script reuses unchanged).
+Runs the production engine at scale — the fused balance-cadence group
+step over a 1-D 'dp' mesh, stats all-reduced with a `psum` — and prints
+one JSON line per batch size with throughput.  On one chip the mesh has
+one device; on a pod slice the same script spans all chips via
+`crafter_tpu.parallel.mesh.make_sharded_group_step` (per-shard Mosaic
+kernels under shard_map — GSPMD cannot split an opaque pallas_call) and,
+with `jax.distributed` initialized through `distributed_init`, all hosts
+(tests/test_distributed.py has the multi-process wiring).
 
-    python tools/demo_64k.py --num_envs 65536 --steps 200
+    python tools/demo_64k.py --num_envs 32768 --steps 400
+    python tools/demo_64k.py --sweep 4096,8192,16384,32768 --steps 400
 
 Multi-host recipe (N hosts, e.g. a v5e-64 slice, 8 hosts x 8 chips):
 
     # on every host (process_id 0..N-1):
-    python tools/demo_64k.py --num_envs 65536 --steps 200 \
+    python tools/demo_64k.py --num_envs 65536 --steps 400 \
         --coordinator host0:8476 --num_processes N --process_id $ID
 
-Each host generates only its local shard of worlds (vec_reset is jitted
-with sharded output, so worldgen runs where the rows live), steps only its
-local rows, and the `psum_stats` line is the only cross-host traffic.
+Each host generates only its local shard of worlds (reset is chunked and
+sharded), steps only its local rows, and the `psum_stats` line is the
+only cross-host traffic.
 """
 
 import pathlib as _pathlib
@@ -34,10 +35,85 @@ import json
 import time
 
 
+def run_size(n, steps, cfg, mesh):
+  import jax
+  import jax.numpy as jnp
+  from crafter_tpu.env import home_keys, vec_reset, vec_step_group
+  from crafter_tpu.parallel.mesh import (make_sharded_group_step,
+                                         psum_stats, shard_batch)
+
+  kk = cfg.balance_every
+  groups = max(steps // kk, 1)
+  # Group-sized reset pass: deaths per group are ~kk*n/170 under a random
+  # policy; the round-3 demo ran per-tick passes of n/128 fresh worldgens
+  # EVERY tick, which collapsed 32k-env throughput to 394k steps/s.
+  reset_batch = min(n, kk * max(32, n // 128))
+
+  # Sharded chunked reset: each device generates only its own rows.
+  keys = home_keys(0, n)
+  reset = jax.jit(vec_reset, static_argnums=1)
+  chunk = max(4096, 512 * len(jax.devices()))
+  pieces = [shard_batch(reset(keys[i:i + chunk], cfg), mesh, min(chunk, n))
+            for i in range(0, n, chunk)]
+  vs = jax.jit(
+      lambda ps: jax.tree.map(
+          lambda *xs: xs[0] if xs[0].ndim == 0 else jnp.concatenate(xs),
+          *ps))(pieces)
+  vs = shard_batch(vs, mesh, n)
+  jax.block_until_ready(vs)
+
+  if mesh.devices.size > 1:
+    gstep = make_sharded_group_step(mesh, cfg, reset_batch)
+  else:
+    gstep = jax.jit(
+        lambda v, a: vec_step_group(v, a, cfg, reset_batch))
+
+  @jax.jit
+  def loop(vs, key):
+    def body(carry, _):
+      vs, key = carry
+      key, k_act = jax.random.split(key)
+      actions = jax.random.randint(k_act, (kk, n), 0, 17)
+      vs, outs = gstep(vs, actions)
+      # `ended` pulses once per finished episode (no latched re-counts).
+      return (vs, key), jnp.stack(
+          [outs.ended.sum().astype(jnp.float32), outs.reward.sum()])
+    (vs, key), aggr = jax.lax.scan(body, (vs, key), None, length=groups)
+    return vs, aggr.sum(0)
+
+  key = jax.random.key(0)
+  vs1, aggr = loop(vs, key)          # compile + warmup
+  float(aggr[0])  # host copy: the only reliable completion barrier
+                  # through a remote-device tunnel (see PERF.md)
+  t0 = time.perf_counter()
+  vs2, aggr = loop(vs1, key)
+  done_total = float(aggr[0])        # host copy = completion barrier
+  dt = time.perf_counter() - t0
+  # Advancement check (PERF.md protocol): every env stepped or reset.
+  stepped = (vs2.env.step - vs1.env.step) == groups * kk
+  reset_ok = vs2.episode > vs1.episode
+  assert bool(jnp.all(stepped | reset_ok)), 'envs neither stepped nor reset'
+
+  # Cross-host stats reduction (a no-op sum on one process, a DCN/ICI
+  # psum on many) — the config-4 "stats allreduce".
+  stats = psum_stats({'episodes_done': jnp.float32(done_total),
+                      'env_steps': jnp.float32(n * groups * kk)}, mesh)
+  import jax as _jax
+  print(json.dumps(dict(
+      metric='env_steps_per_s', value=round(n * groups * kk / dt),
+      per_env=round(groups * kk / dt, 1),
+      num_envs=n, steps=groups * kk, devices=len(_jax.devices()),
+      processes=_jax.process_count(),
+      episodes_done=int(stats['episodes_done']),
+      wall_s=round(dt, 2))), flush=True)
+
+
 def main():
   parser = argparse.ArgumentParser()
   parser.add_argument('--num_envs', type=int, default=65536)
-  parser.add_argument('--steps', type=int, default=200)
+  parser.add_argument('--sweep', type=str, default=None,
+                      help='comma-separated batch sizes to sweep')
+  parser.add_argument('--steps', type=int, default=400)
   parser.add_argument('--coordinator', type=str, default=None)
   parser.add_argument('--num_processes', type=int, default=None)
   parser.add_argument('--process_id', type=int, default=None)
@@ -46,76 +122,18 @@ def main():
   from crafter_tpu.utils import apply_platform_env, enable_compile_cache
   apply_platform_env()
   enable_compile_cache()
-  import jax
-  import jax.numpy as jnp
-  from jax.sharding import NamedSharding, PartitionSpec as P
   from crafter_tpu.config import EnvConfig
-  from crafter_tpu.env import home_keys, vec_reset, vec_step
-  from crafter_tpu.parallel.mesh import (distributed_init, dp_mesh,
-                                         psum_stats)
+  from crafter_tpu.parallel.mesh import distributed_init, dp_mesh
 
   if args.coordinator:
     distributed_init(args.coordinator, args.num_processes, args.process_id)
 
-  n = args.num_envs
   cfg = EnvConfig(reward=False)
   mesh = dp_mesh()
-  dp = NamedSharding(mesh, P('dp'))
-  rep = NamedSharding(mesh, P())
-  reset_batch = max(32, n // 128)
-
-  # Sharded chunked reset: the env-batch sharding of the input keys
-  # propagates through worldgen, so each device generates only its own
-  # rows (no host-side world blob).  Chunking bounds worldgen's
-  # intermediates — a one-shot 64k fused worldgen peaks >20 GB of HBM
-  # while the steady-state env batch itself is ~21 KB/env.
-  keys = jax.device_put(home_keys(0, n), dp)
-  reset = jax.jit(vec_reset, static_argnums=1)
-  chunk = max(4096, 512 * len(jax.devices()))
-  pieces = [reset(keys[i:i + chunk], cfg) for i in range(0, n, chunk)]
-  vs = jax.jit(
-      lambda ps: jax.tree.map(
-          lambda *xs: xs[0] if xs[0].ndim == 0 else jnp.concatenate(xs),
-          *ps))(pieces)
-  vs = jax.tree.map(
-      lambda x: jax.device_put(x, rep if x.ndim == 0 else dp), vs)
-  jax.block_until_ready(vs)
-
-  @jax.jit
-  def loop(vs, key):
-    def body(carry, _):
-      vs, key, prev_done = carry
-      key, k_act = jax.random.split(key)
-      actions = jax.random.randint(k_act, (n,), 0, 17)
-      vs, out, _ = vec_step(vs, actions, cfg, reset_batch)
-      # done latches until the env wins a reset slot; count each episode
-      # once, at its first terminal step.
-      fresh = (out.done & ~prev_done).sum()
-      return (vs, key, out.done), jnp.stack([fresh, out.reward.sum()])
-    (vs, key, _), aggr = jax.lax.scan(
-        body, (vs, key, jnp.zeros((n,), bool)), None, length=args.steps)
-    return vs, aggr.sum(0)
-
-  key = jax.device_put(jax.random.key(0), rep)
-  vs, aggr = loop(vs, key)          # compile + warmup
-  float(aggr[0])  # host copy: the only reliable completion barrier
-                  # through a remote-device tunnel (see PERF.md)
-  t0 = time.perf_counter()
-  vs, aggr = loop(vs, key)
-  done_total = float(aggr[0])       # host copy = completion barrier
-  dt = time.perf_counter() - t0
-
-  # Cross-host stats reduction (a no-op sum on one process, a DCN/ICI
-  # psum on many) — the config-4 "stats allreduce".
-  stats = psum_stats({'episodes_done': jnp.float32(done_total),
-                      'env_steps': jnp.float32(n * args.steps)}, mesh)
-
-  print(json.dumps(dict(
-      metric='env_steps_per_s_64k', value=round(n * args.steps / dt),
-      num_envs=n, steps=args.steps, devices=len(jax.devices()),
-      processes=jax.process_count(),
-      episodes_done=int(stats['episodes_done']),
-      wall_s=round(dt, 2))), flush=True)
+  sizes = ([int(s) for s in args.sweep.split(',')] if args.sweep
+           else [args.num_envs])
+  for n in sizes:
+    run_size(n, args.steps, cfg, mesh)
 
 
 if __name__ == '__main__':
