@@ -26,6 +26,47 @@ def _free_port() -> int:
 
 
 @pytest.mark.timeout(600)
+def test_demo64k_coordinator_two_processes():
+  """tools/demo_64k.py --coordinator: the config-4 runner itself, as two
+  real processes forming one 8-device mesh (4 virtual CPU devices each),
+  stepping the shard_map group path and psum-reducing stats."""
+  import json
+  import os
+  port = _free_port()
+  demo = pathlib.Path(__file__).parent.parent / 'tools' / 'demo_64k.py'
+  env = dict(os.environ)
+  env['JAX_PLATFORMS'] = 'cpu'
+  env['XLA_FLAGS'] = '--xla_force_host_platform_device_count=4'
+  env.pop('CRAFTER_TEST_PLATFORM', None)
+  nproc = 2
+  procs = [
+      subprocess.Popen(
+          [sys.executable, str(demo), '--num_envs', '64', '--steps', '20',
+           '--coordinator', f'localhost:{port}',
+           '--num_processes', str(nproc), '--process_id', str(pid)],
+          stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+          env=env, cwd=str(demo.parent.parent))
+      for pid in range(nproc)
+  ]
+  outs = []
+  try:
+    for p in procs:
+      out, _ = p.communicate(timeout=540)
+      outs.append(out)
+  except subprocess.TimeoutExpired:
+    for p in procs:
+      p.kill()
+    pytest.fail('demo_64k workers timed out\n' + '\n'.join(outs))
+  for pid, (p, out) in enumerate(zip(procs, outs)):
+    assert p.returncode == 0, f'worker {pid} failed:\n{out[-3000:]}'
+    rec = next(json.loads(line) for line in out.splitlines()
+               if line.startswith('{'))
+    assert rec['processes'] == nproc and rec['devices'] == 8, rec
+    assert rec['num_envs'] == 64 and rec['steps'] == 20, rec
+    assert rec['value'] > 0, rec
+
+
+@pytest.mark.timeout(600)
 def test_two_process_cluster_steps_sharded_envs():
   port = _free_port()
   nproc = 2

@@ -39,8 +39,9 @@ def run_size(n, steps, cfg, mesh):
   import jax
   import jax.numpy as jnp
   from crafter_tpu.env import home_keys, vec_reset, vec_step_group
-  from crafter_tpu.parallel.mesh import (make_sharded_group_step,
-                                         psum_stats, shard_batch)
+  from crafter_tpu.parallel.mesh import make_sharded_group_step, psum_stats
+
+  from jax.sharding import NamedSharding, PartitionSpec as P
 
   kk = cfg.balance_every
   groups = max(steps // kk, 1)
@@ -48,18 +49,29 @@ def run_size(n, steps, cfg, mesh):
   # policy; the round-3 demo ran per-tick passes of n/128 fresh worldgens
   # EVERY tick, which collapsed 32k-env throughput to 394k steps/s.
   reset_batch = min(n, kk * max(32, n // 128))
+  dp = NamedSharding(mesh, P('dp'))
+  rep = NamedSharding(mesh, P())
 
-  # Sharded chunked reset: each device generates only its own rows.
-  keys = home_keys(0, n)
-  reset = jax.jit(vec_reset, static_argnums=1)
-  chunk = max(4096, 512 * len(jax.devices()))
-  pieces = [shard_batch(reset(keys[i:i + chunk], cfg), mesh, min(chunk, n))
-            for i in range(0, n, chunk)]
-  vs = jax.jit(
-      lambda ps: jax.tree.map(
-          lambda *xs: xs[0] if xs[0].ndim == 0 else jnp.concatenate(xs),
-          *ps))(pieces)
-  vs = shard_batch(vs, mesh, n)
+  def dp_shardings(fn, rows):
+    shapes = jax.eval_shape(fn)
+    return jax.tree.map(
+        lambda sh: dp if (sh.ndim >= 1 and sh.shape[0] == rows) else rep,
+        shapes)
+
+  # Sharded chunked reset: each device generates only its own rows, and
+  # every array is built INSIDE jit with sharded out_shardings — on a
+  # multi-process mesh host arrays cannot be device_put to a global
+  # sharding, so the SPMD computation is the only portable constructor.
+  chunk = min(n, max(4096, 512 * len(jax.devices())))
+  pieces = []
+  for i in range(0, n, chunk):
+    rows = min(chunk, n - i)
+    fn = lambda i=i, r=rows: vec_reset(home_keys(0, n)[i:i + r], cfg)
+    pieces.append(jax.jit(fn, out_shardings=dp_shardings(fn, rows))())
+  cat = lambda *xs: xs[0] if xs[0].ndim == 0 else jnp.concatenate(xs)
+  fn_cat = lambda: jax.tree.map(cat, *pieces)
+  vs = (jax.jit(fn_cat, out_shardings=dp_shardings(fn_cat, n))()
+        if len(pieces) > 1 else pieces[0])
   jax.block_until_ready(vs)
 
   if mesh.devices.size > 1:
@@ -69,7 +81,8 @@ def run_size(n, steps, cfg, mesh):
         lambda v, a: vec_step_group(v, a, cfg, reset_batch))
 
   @jax.jit
-  def loop(vs, key):
+  def loop(vs, seed):
+    key = jax.random.key(seed)  # built in-graph: replicated on every host
     def body(carry, _):
       vs, key = carry
       key, k_act = jax.random.split(key)
@@ -81,12 +94,11 @@ def run_size(n, steps, cfg, mesh):
     (vs, key), aggr = jax.lax.scan(body, (vs, key), None, length=groups)
     return vs, aggr.sum(0)
 
-  key = jax.random.key(0)
-  vs1, aggr = loop(vs, key)          # compile + warmup
+  vs1, aggr = loop(vs, 0)            # compile + warmup
   float(aggr[0])  # host copy: the only reliable completion barrier
                   # through a remote-device tunnel (see PERF.md)
   t0 = time.perf_counter()
-  vs2, aggr = loop(vs1, key)
+  vs2, aggr = loop(vs1, 1)
   done_total = float(aggr[0])        # host copy = completion barrier
   dt = time.perf_counter() - t0
   # Advancement check (PERF.md protocol): every env stepped or reset.
