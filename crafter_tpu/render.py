@@ -95,7 +95,7 @@ class Atlas:
   #                        k's texel: material k in the view region, item
   #                        amount k (k<10) in the strip region
   spr_planes: jax.Array  # (15, C) int32 r|g<<8|b<<16|a<<24 sprite texels
-  expand: jax.Array      # (79, C) float32 0/1: view tile / item slot -> pixel
+  expand: jax.Array      # (79, C) int8 0/1: view tile / item slot -> pixel
   vignette: jax.Array    # (1, C) float32 night vignette (0 off the view)
   view_mask: jax.Array   # (1, C) int32 0/1 — pixels the lighting applies to
 
@@ -232,7 +232,9 @@ def bake_atlas(size: Tuple[int, int] = (64, 64),
   return Atlas(
       mat_planes=i32(mat_planes),
       spr_planes=i32(spr_planes),
-      expand=jnp.asarray(expand),
+      # int8 storage: the expansion matrix is the render kernel's largest
+      # resident table; narrow HBM/VMEM traffic, cast at use.
+      expand=jnp.asarray(expand.astype(np.int8)),
       vignette=jnp.asarray(vig.reshape(1, c)),
       view_mask=jnp.asarray(in_view.astype(np.int32).reshape(1, c)))
 
@@ -328,7 +330,7 @@ def _render_core(win79, daylight, sleeping, seed, mats, sprs, expand, vig,
   # One exact matmul: each pixel column of `expand` has exactly one 1, so
   # the product is a plain copy of its source value (<= 255) — exact in
   # any matmul precision.
-  ids = jnp.dot(win79.astype(f32), expand,
+  ids = jnp.dot(win79.astype(f32), expand.astype(f32),
                 preferred_element_type=f32).astype(jnp.int32)
   mid = ids & 15
   tex = _srl(ids, 4) & 15
