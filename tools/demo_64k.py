@@ -52,6 +52,14 @@ def run_size(n, steps, cfg, mesh):
   dp = NamedSharding(mesh, P('dp'))
   rep = NamedSharding(mesh, P())
 
+  if jax.process_count() > 1:
+    # Establish the cross-process collective context with a trivial psum
+    # BEFORE any heavy compile: Gloo context initialization only waits
+    # ~30 s for all processes to rendezvous, and compile skew between
+    # processes (e.g. under CI load) can exceed that if the first
+    # collective dispatch is also the biggest program.
+    psum_stats({'warmup': jnp.float32(1.0)}, mesh)
+
   def dp_shardings(fn, rows):
     shapes = jax.eval_shape(fn)
     return jax.tree.map(
