@@ -41,15 +41,17 @@ class EnvConfig:
   engine: str = 'auto'
 
   def __post_init__(self):
-    # The balance kernel's segmented chunk-argmax uses static (1,2,4,8)
-    # log-step shift ladders and packs the in-chunk cell rank into the low
-    # 8 bits of its 24-bit pick scores (step.py:_balance_core.chunk_max);
-    # both are only correct for chunk dims <= 16 and csx*csy <= 256.
+    # The balance kernel's segmented prefix-count ladder uses static
+    # (1,2,4,8) log-step shifts and packs per-chunk member counts into
+    # 8-bit fields of an int32 lane (step.py:_balance_core); both are only
+    # correct for chunk dims <= 16 and csx*csy <= 255 (a count of 256
+    # would overflow an 8-bit prefix-count field).
     csx, csy = self.chunk_size
-    if csx > 16 or csy > 16 or csx * csy > 256:
+    if csx > 16 or csy > 16 or csx * csy > 255:
       raise ValueError(
-          f'chunk_size={self.chunk_size} exceeds the (16, 16)/256-cell '
-          'limit of the balance kernel\'s shift ladders and rank packing')
+          f'chunk_size={self.chunk_size} exceeds the (16, 16)-dim / '
+          '255-cell limit of the balance kernel\'s shift ladders and '
+          '8-bit prefix-count fields (step.py:_balance_core)')
 
   @property
   def item_rows(self) -> int:

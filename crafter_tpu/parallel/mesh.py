@@ -60,21 +60,27 @@ def make_sharded_group_step(mesh: Mesh, cfg, reset_batch: int):
   are independent, so the group step runs unmodified per shard and no
   collective is needed at all (stats reductions ride `psum_stats`).
 
-  The reset pass becomes per-shard with ``reset_batch // n_shards``
-  slots: when no shard overflows, exactly the same envs reset with
-  exactly the same fresh worlds as the single-device pass (each env's
-  world derives from its own home key), so results are bit-identical —
-  asserted in tests/test_sharding.py.
+  The reset pass becomes per-shard with ``ceil(reset_batch / n_shards)``
+  slots per shard (never fewer slots per env row than the single-device
+  pass would give): when no shard overflows, exactly the same envs reset
+  with exactly the same fresh worlds as the single-device pass (each
+  env's world derives from its own home key), so results are
+  bit-identical — asserted in tests/test_sharding.py.  Caveat: the
+  budget is per-shard, so if >rb_local deaths cluster on one shard in a
+  single group, its overflow envs stay latched one extra group even
+  though another shard had free slots — a latency (not correctness)
+  difference vs the single-device pass; callers sizing reset_batch from
+  the global death rate (tools/demo_64k.py) get slack from the ceil.
 
   Returns ``step(vs, actions) -> (vs, outs)`` (jitted) for (K, N)
   actions.
   """
-  from jax.experimental.shard_map import shard_map
+  from jax import shard_map
 
   from ..env import vec_step_group
 
   n_shards = mesh.devices.size
-  rb_local = max(1, reset_batch // n_shards)
+  rb_local = max(1, -(-reset_batch // n_shards))
 
   def local_step(vs, actions):
     return vec_step_group(vs, actions, cfg, rb_local)
@@ -88,7 +94,7 @@ def make_sharded_group_step(mesh: Mesh, cfg, reset_batch: int):
     in_specs = (jax.tree.map(spec_of, vs), P(None, 'dp'))
     out_specs = (jax.tree.map(spec_of, vs), P(None, 'dp'))
     return shard_map(local_step, mesh=mesh, in_specs=in_specs,
-                     out_specs=out_specs, check_rep=False)(vs, actions)
+                     out_specs=out_specs, check_vma=False)(vs, actions)
 
   return step
 
@@ -102,7 +108,7 @@ def psum_stats(tree, mesh: Mesh):
   result is the sum over all processes — a DCN allreduce on a multi-host
   slice, the identity on one.
   """
-  from jax.experimental.shard_map import shard_map
+  from jax import shard_map
 
   def lift(leaf):
     if getattr(leaf, 'ndim', 0) >= 1:

@@ -47,6 +47,13 @@ class PPOConfig:
   max_grad_norm: float = 0.5
   reset_batch: int = 64
   seed: int = 0
+  # Minibatch axis (see PPO._update).  None = auto: global flatten+shuffle
+  # on a single device (fastest there — measured ~20% over time-axis),
+  # time-axis when the env batch is sharded over a mesh (shard-local
+  # gathers; the global shuffle forces GSPMD cross-shard gathers, ~10x
+  # the SGD wall on 8 devices).  make_sharded_train resolves None by mesh
+  # size; a bare PPO() resolves it to the single-device choice.
+  time_minibatch: Optional[bool] = None
 
 
 @struct.dataclass
@@ -124,6 +131,12 @@ class PPO:
 
     def one_step(carry, i, balance=None, reset_every=1, rb=None):
       vec, obs, key = carry
+      # Envs latched `pending` at tick start are finished episodes idling
+      # for a reset slot (up to K-1 ticks on the group cadence): their
+      # rewards this tick are post-terminal junk, so zero them for
+      # training.  `done` stays latched true, so GAE already cuts the
+      # bootstrap through these ticks; stats key on the one-shot `ended`.
+      stale = vec.pending
       key, k_act = jax.random.split(key)
       out = self.model.apply(ts.params, obs)
       action = jax.random.categorical(k_act, out.logits)
@@ -133,7 +146,8 @@ class PPO:
           vec, action, self.env_cfg, rb or cfg.reset_batch,
           reset_every=reset_every, balance=balance)
       next_obs = self.core.observe_batch(vec.env)
-      reward = (env_out.reward if self.env_cfg.reward
+      reward = (jnp.where(stale, 0.0, env_out.reward)
+                if self.env_cfg.reward
                 else jnp.zeros_like(env_out.reward))
       tr = Transition(obs=obs, action=action, logp=logp, value=out.value,
                       reward=reward, done=env_out.done,
@@ -201,42 +215,61 @@ class PPO:
   def _update(self, ts: PPOState):
     """One PPO update: rollout T steps, then E epochs of M minibatches.
 
-    Minibatches are drawn along the TIME axis: a permutation of the T
-    rollout rows, M groups of T/M rows, every env in each minibatch.
-    The env axis is the sharded one under data parallelism, so this
-    keeps every gather shard-local and every reshape env-major - the
-    previous global flatten+shuffle forced GSPMD to reshard the whole
-    batch and lower cross-shard gathers per minibatch (measured ~10x
-    the unsharded SGD wall on an 8-device mesh).  Each minibatch still
-    mixes (T/M) x N samples; only the shuffling granularity changes.
+    The minibatch axis is mesh-aware (``cfg.time_minibatch``):
+
+    * **Global** (single device, the default): flatten (T, N) and shuffle
+      all T*N samples — SB3's exact scheme, and ~20% faster end-to-end on
+      one chip than time-axis gathers (measured round 4).
+    * **Time-axis** (sharded meshes): a permutation of the T rollout
+      rows, M groups of T/M rows, every env in each minibatch.  The env
+      axis is the sharded one under data parallelism, so this keeps every
+      gather shard-local and every reshape env-major — a global
+      flatten+shuffle forces GSPMD to reshard the whole batch and lower
+      cross-shard gathers per minibatch (measured ~10x the unsharded SGD
+      wall on an 8-device mesh).  Each minibatch still mixes (T/M) x N
+      samples; only the shuffling granularity changes.
     """
     cfg = self.cfg
-    assert cfg.rollout_len % cfg.minibatches == 0, (
-        'rollout_len must divide into minibatches (time-axis minibatching)')
+    time_mb = bool(cfg.time_minibatch)  # None (auto) => single-device global
+    if time_mb:
+      assert cfg.rollout_len % cfg.minibatches == 0, (
+          'rollout_len must divide into minibatches (time-axis '
+          'minibatching)')
+    else:
+      assert (cfg.rollout_len * cfg.num_envs) % cfg.minibatches == 0, (
+          'rollout size must divide into minibatches')
     ts, traj, last_value = self._rollout(ts)
     adv, ret = self._gae(traj, last_value)
     data = (traj.obs, traj.action, traj.logp, adv, ret)
+    if not time_mb:
+      batch_n = cfg.rollout_len * cfg.num_envs
+      data = jax.tree.map(
+          lambda x: x.reshape((batch_n,) + x.shape[2:]), data)
+      perm_n = batch_n
+      gather = lambda x, idx: x[idx]
+    else:
+      perm_n = cfg.rollout_len
+      gather = lambda x, idx: x[idx].reshape((-1,) + x.shape[2:])
 
     def epoch(carry, _):
       params, opt_state, key = carry
       key, k_perm = jax.random.split(key)
-      perm = jax.random.permutation(k_perm, cfg.rollout_len)
+      perm = jax.random.permutation(k_perm, perm_n)
 
-      def minibatch(carry, idx_t):
+      def minibatch(carry, idx):
         params, opt_state = carry
-        # Gather T/M time rows (axis 0 is unsharded — shard-local), then
-        # flatten time-major: a free reshape on device (an env-major
-        # swapaxes relayouts ~0.5 GB of uint8 frames per minibatch).
-        mb = jax.tree.map(
-            lambda x: x[idx_t].reshape((-1,) + x.shape[2:]), data)
+        # Time-axis mode gathers T/M time rows (axis 0 is unsharded —
+        # shard-local) and flattens time-major: a free reshape on device
+        # (an env-major swapaxes relayouts ~0.5 GB of uint8 frames per
+        # minibatch).  Global mode gathers sample rows directly.
+        mb = jax.tree.map(lambda x: gather(x, idx), data)
         (loss, aux), grads = jax.value_and_grad(self._loss, has_aux=True)(
             params, mb)
         updates, opt_state = self.tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return (params, opt_state), dict(loss=loss, **aux)
 
-      idxs = perm.reshape(cfg.minibatches,
-                          cfg.rollout_len // cfg.minibatches)
+      idxs = perm.reshape(cfg.minibatches, perm_n // cfg.minibatches)
       (params, opt_state), metrics = jax.lax.scan(
           minibatch, (params, opt_state), idxs)
       return (params, opt_state, key), metrics
@@ -318,6 +351,10 @@ def make_sharded_train(env_cfg: EnvConfig, cfg: PPOConfig, mesh):
   by op — ~190 s on CPU for 256 envs; jitted it is one compile + one run).
   """
   from jax.sharding import NamedSharding, PartitionSpec as P
+  if cfg.time_minibatch is None:
+    # Auto: time-axis minibatches only when the batch is actually sharded
+    # (shard-local gathers); global flatten+shuffle on one device.
+    cfg = dataclasses.replace(cfg, time_minibatch=mesh.devices.size > 1)
   ppo = PPO(env_cfg, cfg)
   repl = NamedSharding(mesh, P())
   dp = NamedSharding(mesh, P('dp'))

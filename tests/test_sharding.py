@@ -45,7 +45,7 @@ class TestShardedEnv:
 
   def test_stats_allreduce_over_mesh(self):
     # Cross-host stats reduction: a psum over the mesh axis via shard_map.
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     mesh = mesh8()
     cfg = EnvConfig()
     n = 16
