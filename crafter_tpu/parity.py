@@ -284,8 +284,11 @@ class ParityEnv:
     ys = np.arange(h, dtype=np.float64)[None, :] + np.zeros((w, 1))
 
     def n3(px_, py_, z):
+      # noise3_walk_host: the ORIGINAL walk's numerics (bit-identical to
+      # the PyPI opensimplex package) — the candidate-sum reformulation
+      # deviates by ~1e-5 at ~4% of points (see ops/noise_host.py).
       pts = np.stack([px_, py_, np.full_like(px_, float(z))], -1)
-      return noise_host.noise3_host(pts, perm)
+      return noise_host.noise3_walk_host(pts, perm)
 
     # All noise channels, with the reference's exact float64 argument
     # arithmetic: _simplex divides the *already scaled* coordinates by the
