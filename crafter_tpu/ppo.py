@@ -239,6 +239,13 @@ class PPO:
       assert (cfg.rollout_len * cfg.num_envs) % cfg.minibatches == 0, (
           'rollout size must divide into minibatches')
     ts, traj, last_value = self._rollout(ts)
+    return self._learn(ts, traj, last_value)
+
+  def _learn(self, ts: PPOState, traj: Transition, last_value: jax.Array):
+    """GAE + E epochs of M minibatches on a collected rollout (split from
+    :meth:`_update` so tools/ppo_budget.py can time the stages apart)."""
+    cfg = self.cfg
+    time_mb = bool(cfg.time_minibatch)
     adv, ret = self._gae(traj, last_value)
     data = (traj.obs, traj.action, traj.logp, adv, ret)
     if not time_mb:

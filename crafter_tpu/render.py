@@ -389,7 +389,12 @@ def _frame_image(packed_px: jax.Array, size: Tuple[int, int]) -> jax.Array:
   """(.., C) int32 packed RGB -> (.., size[1], size[0], 3) uint8.
 
   Byte 0 of the little-endian int32 is R, so a bitcast view plus a 4->3
-  channel slice is the whole unpack (no per-channel transpose).
+  channel slice is the whole unpack (no per-channel transpose).  An
+  int32 word-compaction alternative (pack each 4-pixel group's RGB bytes
+  into 3 int32 words so the final bitcast is layout-only) measured ~18
+  ms/group SLOWER on TPU — the stride-4 minor-dim extracts and the
+  3-way interleave are each full relayouts (tools/bench_unpack.py,
+  bench r5: pixel 668k -> 367k steps/s).  The u8 slice stays.
   """
   b = jax.lax.bitcast_convert_type(packed_px, jnp.uint8)   # (.., C, 4)
   return b[..., :3].reshape(packed_px.shape[:-1] + (size[1], size[0], 3))

@@ -119,6 +119,84 @@ class TestShardedTrain:
     assert int(ts.update) == 1
     assert np.isfinite(float(metrics['loss']))
 
+  def test_sharded_train_reproduces_single_device(self):
+    """An 8-device sharded train_step must reproduce the single-device
+    run — same seeds, same time-axis minibatching — so a sharding
+    regression breaks *learning*, not just finiteness (VERDICT r4 item 6).
+
+    What is asserted, and why:
+    * the post-update env batch and current frames are BIT-identical —
+      the rollout (env tick + render + policy sampling) is exactly
+      equivalent under sharding;
+    * the full-batch loss gradient at the initial params matches to
+      float tolerance — computed through a float32 clone of the policy,
+      so only psum reduction ordering differs (the product model's bf16
+      backward accumulates gradients in bf16, where shard-order
+      reassociation legitimately moves small grads by several percent).
+    Post-update *params* are deliberately not compared: Adam's first
+    step is sign-like (m/sqrt(v) ~ sign(g) for near-zero gradients), so
+    ulp-level reduction noise legitimately flips some parameters by the
+    full learning rate (measured ~2.8*lr after one update) without any
+    sharding bug."""
+    from crafter_tpu import rules
+    from crafter_tpu.models import CnnPolicy
+    from crafter_tpu.ppo import PPO, PPOConfig, make_sharded_train
+    env_cfg = EnvConfig()
+    # time_minibatch pinned True on both sides: the mesh-aware default
+    # would pick global shuffling on one device (a *different* algorithm).
+    cfg = PPOConfig(num_envs=16, rollout_len=4, epochs=2, minibatches=2,
+                    reset_batch=8, time_minibatch=True)
+
+    def make_f32(ppo):
+      """A clone whose policy computes in float32 (params-compatible)."""
+      clone = PPO(ppo.env_cfg, ppo.cfg)
+      clone.model = CnnPolicy(n_actions=rules.N_ACTIONS,
+                              compute_dtype=jnp.float32)
+      return clone
+
+    def full_batch_grad(ppo, ts):
+      """Loss + grad over the whole first rollout, no minibatching."""
+      ppo = make_f32(ppo)
+      ts, traj, last_value = ppo._rollout(ts)
+      adv, ret = ppo._gae(traj, last_value)
+      flat = lambda x: x.reshape((-1,) + x.shape[2:])
+      data = jax.tree.map(flat, (traj.obs, traj.action, traj.logp, adv,
+                                 ret))
+      (loss, _), grads = jax.value_and_grad(ppo._loss, has_aux=True)(
+          ts.params, data)
+      return loss, grads
+
+    ppo = PPO(env_cfg, cfg)
+    ts_a = jax.jit(ppo.init)(jax.random.key(3))
+    loss_a, grads_a = jax.jit(lambda t: full_batch_grad(ppo, t))(ts_a)
+    ts_a, metrics_a = jax.jit(ppo.train_step)(ts_a)
+
+    mesh = mesh8()
+    with mesh:
+      ppo_b, init, train_step, _ = make_sharded_train(env_cfg, cfg, mesh)
+      ts_b = init(jax.random.key(3))
+      loss_b, grads_b = jax.jit(lambda t: full_batch_grad(ppo_b, t))(ts_b)
+      ts_b, metrics_b = train_step(ts_b)
+      jax.block_until_ready(metrics_b)
+
+    # Rollout equivalence is bit-exact.
+    np.testing.assert_array_equal(np.asarray(ts_a.vec.env.step),
+                                  np.asarray(ts_b.vec.env.step))
+    np.testing.assert_array_equal(np.asarray(ts_a.vec.env.mat_map),
+                                  np.asarray(ts_b.vec.env.mat_map))
+    np.testing.assert_array_equal(np.asarray(ts_a.obs), np.asarray(ts_b.obs))
+    assert int(metrics_a['episodes_done']) == int(metrics_b['episodes_done'])
+    # Learning equivalence: same loss and same gradient field.
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-4)
+    flat_a = jax.tree_util.tree_flatten_with_path(grads_a)[0]
+    flat_b = jax.tree.leaves(grads_b)
+    assert len(flat_a) == len(flat_b)
+    scale = max(float(jnp.abs(g).max()) for g in flat_b)
+    for (path, a), b in zip(flat_a, flat_b):
+      np.testing.assert_allclose(
+          np.asarray(a), np.asarray(b), rtol=1e-4, atol=5e-6 * scale,
+          err_msg=jax.tree_util.keystr(path))
+
 
 class TestParallelHelpers:
   def test_psum_stats_and_shard_batch(self):
