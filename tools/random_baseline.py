@@ -21,7 +21,47 @@ import argparse
 import time
 
 
+def multi(argv):
+  """--seeds N: run N independent 1M-step baselines (one subprocess per
+  seed — a wedged TPU tunnel then poisons one run, not all) and report
+  mean ± std vs the reference's golden recompute (VERDICT r4 item 3)."""
+  import json
+  import re
+  import subprocess
+  import sys
+  n_seeds = int(argv[argv.index('--seeds') + 1])
+  steps = (int(argv[argv.index('--steps') + 1])
+           if '--steps' in argv else 1_000_000)
+  envs = int(argv[argv.index('--envs') + 1]) if '--envs' in argv else 512
+  scores = []
+  for seed in range(n_seeds):
+    out = subprocess.run(
+        [sys.executable, __file__, '--steps', str(steps), '--envs',
+         str(envs), '--seed', str(seed), '--outdir',
+         f'logdir/random_ci/{seed}'],
+        capture_output=True, text=True, timeout=1800)
+    m = re.search(r'random: crafter score ([0-9.]+)', out.stdout)
+    if not m:
+      print(f'seed {seed} FAILED:\n{out.stdout}\n{out.stderr}',
+            file=sys.stderr)
+      continue
+    scores.append(float(m.group(1)))
+    print(f'seed {seed}: {scores[-1]:.3f}', flush=True)
+  import numpy as np
+  arr = np.array(scores)
+  print(json.dumps(dict(
+      metric='random_crafter_score', seeds=len(arr),
+      mean=round(float(arr.mean()), 3),
+      std=round(float(arr.std(ddof=1)), 3) if len(arr) > 1 else 0.0,
+      values=[round(v, 3) for v in arr.tolist()],
+      golden_recompute=1.55)))
+
+
 def main():
+  import sys
+  if '--seeds' in sys.argv:
+    multi(sys.argv)
+    return
   parser = argparse.ArgumentParser()
   parser.add_argument('--steps', type=int, default=1_000_000)
   parser.add_argument('--envs', type=int, default=512)
