@@ -275,7 +275,10 @@ class TestVecEnvSpaces:
 
 
 def test_run_gui_importable_and_keymap():
+  import os
+  os.environ.setdefault('SDL_VIDEODRIVER', 'dummy')
   import pygame
+  pygame.init()   # key_code warns (and may misreport) before init
   from crafter_tpu import run_gui
   keymap = {pygame.key.key_code(k): v
             for k, v in run_gui.KEYMAP_NAMES.items()}
