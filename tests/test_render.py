@@ -196,3 +196,24 @@ class TestRenderParity:
     want = oracle_render(ripe, CFG)
     assert np.abs(device_render(ripe).astype(int)
                   - want.astype(int)).max() <= 1
+
+
+def test_compact_words_routing_across_sizes():
+  """The statically derived gather-ladder masks must route correctly for
+  any C divisible by 4 (they are derived per size): words output ==
+  bitcast+slice of the packed output, bitwise, at two render sizes."""
+  import jax
+  import jax.numpy as jnp
+  from crafter_tpu.render import (_frame_image, _gather_ladder_masks,
+                                  _image_from_words)
+  for c in (4096, 1024, 256):
+    masks, n_stages = _gather_ladder_masks(c)
+    px = jax.random.randint(jax.random.key(c), (6, c), 0, 1 << 24,
+                            dtype=jnp.int32)
+    # Apply the ladder exactly as the kernel does.
+    from crafter_tpu.render import _compact_words
+    w = _compact_words(px, jnp.asarray(np.stack(masks).astype(np.int32)))
+    size = {4096: (64, 64), 1024: (32, 32), 256: (16, 16)}[c]
+    a = np.asarray(_frame_image(px, size))
+    b = np.asarray(_image_from_words(w, size))
+    np.testing.assert_array_equal(a, b, err_msg=f'c={c}')
