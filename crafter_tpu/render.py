@@ -49,7 +49,7 @@ from __future__ import annotations
 
 import functools
 import pathlib
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -313,6 +313,35 @@ def _window_prep(packed: jax.Array, ppos: jax.Array, pfacing: jax.Array,
   return win79
 
 
+def window79_from_slab(slab: jax.Array, px: jax.Array, py: jax.Array,
+                       pfacing: jax.Array, sleeping: jax.Array,
+                       inventory: jax.Array, cfg: EnvConfig) -> jax.Array:
+  """(B, gw, gh) aligned window slabs -> (B, 79) rows for
+  :func:`render_win79`.
+
+  ``slab`` holds packed mid | ctex<<4 cells already positioned at the
+  player's view window (step.GroupSnaps.win cut to the view columns);
+  out-of-world positions hold wrapped garbage that the ``inside`` mask
+  replaces with the gray/out-of-bounds candidates — identical semantics
+  to :func:`_window_prep` on the full cell plane (engine.py:165-181).
+  """
+  gw, gh = cfg.local_grid
+  w, h = cfg.area
+  b = slab.shape[0]
+  win = slab.astype(jnp.int32)
+  xs = px[:, None] + jnp.arange(gw)[None] - gw // 2        # (B, gw)
+  ys = py[:, None] + jnp.arange(gh)[None] - gh // 2        # (B, gh)
+  inside = (((xs >= 0) & (xs < w))[:, :, None]
+            & ((ys >= 0) & (ys < h))[:, None, :])          # (B, gw, gh)
+  mid = jnp.where(inside, win & 15, GRAY_ID)
+  ctex = jnp.where(inside, (win >> 4) & 15, 0)
+  ptex = jnp.where(sleeping != 0, TEX_PLAYER_SLEEP, TEX_PLAYER + pfacing)
+  texid = jnp.where(ctex == TEX_PLAYER, ptex[:, None, None], ctex)
+  return jnp.concatenate([
+      (mid | (texid << 4)).reshape(b, gw * gh),
+      jnp.clip(inventory.astype(jnp.int32), 0, 9)], -1)
+
+
 def _render_core(win79, daylight, sleeping, seed, mats, sprs, expand, vig,
                  vmask):
   """Frame synthesis on flat pixel lanes (last axis = C) — backend-shared.
@@ -385,6 +414,93 @@ def _render_core(win79, daylight, sleeping, seed, mats, sprs, expand, vig,
   return out[0] | (out[1] << 8) | (out[2] << 16)
 
 
+@functools.lru_cache(8)
+def _gather_ladder_masks(c: int) -> Tuple[Tuple[np.ndarray, ...], int]:
+  """Static routing masks for the lane-roll gather x[j] <- px[a(j)],
+  a(j) = j + j//3 (identity beyond 3c/4).
+
+  A per-lane variable shift cannot use naive bit masks — after one
+  stage the data has moved, so bit_k(shift) read at the destination no
+  longer describes the residual shift of what sits there.  Instead the
+  masks are derived by destination pullback, largest roll chosen first:
+  m for roll 2^k is [residual >= 2^k], then the residual targets are
+  pulled back through that stage's source map.  For a MONOTONE shift
+  (ours: j//3) every such mask is a step function, so two lanes never
+  pull the same source with different targets — the routing is
+  conflict-free (asserted below by simulation).  Returns masks in
+  APPLICATION order (smallest roll first).
+  """
+  cw = 3 * c // 4
+  lanes = np.arange(c)
+  a = lanes + lanes // 3
+  a[cw:] = lanes[cw:]                   # padding lanes route identity
+  n_stages = max(1, int((a - lanes).max()).bit_length())
+  targets = a.copy()
+  masks = [None] * n_stages
+  for k in range(n_stages - 1, -1, -1):  # derive last-applied first
+    m = (targets - lanes) >= (1 << k)
+    masks[k] = m
+    jp = lanes + (1 << k) * m
+    t_new = lanes.copy()
+    # Used (shifting) lanes written last so a colliding identity write
+    # from a padding lane cannot clobber a routed target.
+    t_new[jp[~m]] = targets[~m]
+    t_new[jp[m]] = targets[m]
+    targets = t_new
+  # Verify the network end-to-end: applying stages smallest-first must
+  # realize exactly a(j).
+  content = np.arange(c)
+  for k in range(n_stages):
+    content = np.where(masks[k], content[(lanes + (1 << k)) % c], content)
+  assert (content[:cw] == a[:cw]).all(), 'ladder routing failed'
+  return tuple(m for m in masks), n_stages
+
+
+def _compact_words(px: jax.Array, masks: jax.Array) -> jax.Array:
+  """(.., C) int32 r|g<<8|b<<16 lanes -> (.., 3C/4) int32 holding the
+  frame's NHWC uint8 byte stream (little-endian) — in-kernel.
+
+  Word j of a 4-pixel group packs bytes from pixels a(j) = j + j//3 and
+  a(j)+1.  The variable per-lane gather runs as a ladder of uniform
+  lane rolls + selects with statically derived routing masks
+  (:func:`_gather_ladder_masks`, passed in as the (n_stages, C) int32
+  ``masks`` operand — Pallas kernels cannot capture array constants;
+  Mosaic lowers jnp.roll to the native lane rotate, PERF.md), so no
+  strided lane access or relayout ever materializes — the XLA
+  formulations of this byte compaction measured catastrophically
+  (PERF.md dead-end ledger).  ``a1`` rides a second ladder copy: a(j)
+  skips lane 4g+3 at every group boundary, so it is not a roll of
+  ``a0``.  Integer-exact: output bytes are identical to the
+  bitcast+slice of ``px``.
+  """
+  c = px.shape[-1]
+  assert c % 4 == 0, c
+  cw = 3 * c // 4
+  n_stages = masks.shape[0]
+  j = _lane_iota(c, px)
+  x = px
+  q = jnp.roll(px, -1, axis=-1)
+  for k in range(n_stages):
+    bit = masks[k:k + 1] != 0
+    x = jnp.where(bit, jnp.roll(x, -(1 << k), axis=-1), x)
+    q = jnp.where(bit, jnp.roll(q, -(1 << k), axis=-1), q)
+  a0 = x
+  a1 = q
+  m = j % 3
+  w0 = a0 | (a1 << 24)
+  w1 = _srl(a0, 8) | (a1 << 16)
+  w2 = _srl(a0, 16) | (a1 << 8)
+  w = jnp.where(m == 0, w0, jnp.where(m == 1, w1, w2))
+  return w[..., :cw]
+
+
+def _image_from_words(words: jax.Array, size: Tuple[int, int]) -> jax.Array:
+  """(.., 3C/4) int32 byte-stream words -> (.., H, W, 3) uint8: pure
+  bitcast + reshape (the bytes are already in output order)."""
+  b = jax.lax.bitcast_convert_type(words, jnp.uint8)   # (.., 3C/4, 4)
+  return b.reshape(words.shape[:-1] + (size[1], size[0], 3))
+
+
 def _frame_image(packed_px: jax.Array, size: Tuple[int, int]) -> jax.Array:
   """(.., C) int32 packed RGB -> (.., size[1], size[0], 3) uint8.
 
@@ -443,28 +559,56 @@ def render_frames(packed: jax.Array, ppos: jax.Array, pfacing: jax.Array,
                   sleeping: jax.Array, inventory: jax.Array,
                   steps: jax.Array, seeds: jax.Array, cfg: EnvConfig,
                   atlas: Atlas, size: Tuple[int, int] = (64, 64),
-                  block: int = 64, packed_out: bool = False) -> jax.Array:
+                  block: int = 64, packed_out: bool = False,
+                  out_format: Optional[str] = None) -> jax.Array:
   """A batch of frames as ONE Pallas kernel (bit-identical to
   vmap(:func:`render_fields`) — same ``_render_core`` trace).
 
   ``packed``: (B, C_cells) packed cell planes (:func:`pack_cells` or the
   group kernel's snapshots); ``seeds``: (B,) int32 from
-  :func:`_noise_seed`.  Returns (B, size[1], size[0], 3) uint8, or the
-  raw (B, C) int32 r|g<<8|b<<16 pixel lanes when ``packed_out`` (callers
-  that reshape the batch first pay the one uint8 unpack copy in the
-  final shape; see :func:`_frame_image`).
+  :func:`_noise_seed`.  ``out_format``:
+
+  * ``'frames'`` (default) — (B, size[1], size[0], 3) uint8.  When C
+    divides by 4 the kernel emits the NHWC byte stream directly as
+    int32 words (:func:`_compact_words`, lane-roll ladder in VMEM), so
+    the external unpack is a pure bitcast — the separate uint8 4->3
+    slice copy never runs.
+  * ``'words'`` — the raw (B, 3C/4) int32 byte-stream words for callers
+    that reshape the batch before the (free) bitcast to uint8
+    (:func:`_image_from_words`).
+  * ``'packed'`` — (B, C) int32 r|g<<8|b<<16 pixel lanes (the CNN's
+    packed transport; ``packed_out=True`` is the legacy spelling).
   """
   from jax.experimental import pallas as pl
   from jax.experimental.pallas import tpu as pltpu
 
-  n = packed.shape[0]
-  c = atlas.vignette.shape[-1]
+  if out_format is None:
+    out_format = 'packed' if packed_out else 'frames'
   prep = jax.vmap(
       lambda pk, pp, pf, sl, inv: _window_prep(pk, pp, pf, sl, inv, cfg))
   win79 = prep(packed, ppos, pfacing, sleeping != 0, inventory)
   d = jax.vmap(lambda s: state_lib.daylight(s, cfg.day_length))(steps)
+  return render_win79(win79, d, sleeping, seeds, atlas, size, block,
+                      out_format)
 
-  ins = [win79.astype(jnp.int32), d.astype(jnp.float32).reshape(-1, 1),
+
+def render_win79(win79: jax.Array, daylight: jax.Array,
+                 sleeping: jax.Array, seeds: jax.Array, atlas: Atlas,
+                 size: Tuple[int, int] = (64, 64), block: int = 64,
+                 out_format: str = 'frames') -> jax.Array:
+  """The Pallas frame-synthesis call on prepared (B, 79) window rows
+  (see :func:`render_frames` for the output formats)."""
+  from jax.experimental import pallas as pl
+  from jax.experimental.pallas import tpu as pltpu
+
+  n = win79.shape[0]
+  c = atlas.vignette.shape[-1]
+  words = out_format in ('frames', 'words') and c % 4 == 0
+  assert words or out_format != 'words', 'words output needs C % 4 == 0'
+  out_w = 3 * c // 4 if words else c
+
+  ins = [win79.astype(jnp.int32),
+         daylight.astype(jnp.float32).reshape(-1, 1),
          sleeping.astype(jnp.int32).reshape(-1, 1),
          seeds.astype(jnp.int32).reshape(-1, 1)]
   pad = (-n) % block
@@ -473,11 +617,18 @@ def render_frames(packed: jax.Array, ppos: jax.Array, pfacing: jax.Array,
         [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]) for a in ins]
   np_ = n + pad
 
+  if words:
+    ladder, _ = _gather_ladder_masks(c)
+    ladder = jnp.asarray(np.stack(ladder).astype(np.int32))
+  else:
+    ladder = jnp.zeros((1, c), jnp.int32)
+
   def kernel(win_ref, d_ref, sl_ref, sd_ref, mat_ref, spr_ref, exp_ref,
-             vig_ref, msk_ref, out_ref):
-    out_ref[...] = _render_core(
+             vig_ref, msk_ref, lad_ref, out_ref):
+    px = _render_core(
         win_ref[...], d_ref[...], sl_ref[...], sd_ref[...], mat_ref[...],
         spr_ref[...], exp_ref[...], vig_ref[...], msk_ref[...])
+    out_ref[...] = _compact_words(px, lad_ref[...]) if words else px
 
   spec = lambda width: pl.BlockSpec((block, width), lambda i: (i, 0),
                                     memory_space=pltpu.VMEM)
@@ -490,17 +641,19 @@ def render_frames(packed: jax.Array, ppos: jax.Array, pfacing: jax.Array,
       kernel,
       grid=(np_ // block,),
       in_specs=[spec(win79.shape[1])] + [spec(1)] * 3
-               + [tab(nm), tab(ns), tab(ne), tab(1), tab(1)],
-      out_specs=spec(c),
-      out_shape=jax.ShapeDtypeStruct((np_, c), jnp.int32),
+               + [tab(nm), tab(ns), tab(ne), tab(1), tab(1),
+                  tab(ladder.shape[0])],
+      out_specs=spec(out_w),
+      out_shape=jax.ShapeDtypeStruct((np_, out_w), jnp.int32),
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=100 * 1024 * 1024),
       interpret=jax.default_backend() != 'tpu',  # CPU: test/debug mode
   )(*ins, atlas.mat_planes, atlas.spr_planes, atlas.expand,
-    atlas.vignette, atlas.view_mask)
-  if packed_out:
-    return px[:n]
-  return _frame_image(px[:n], size)
+    atlas.vignette, atlas.view_mask, ladder)
+  px = px[:n]
+  if out_format in ('packed', 'words'):
+    return px
+  return _image_from_words(px, size) if words else _frame_image(px, size)
 
 
 def semantic_view(state: State, cfg: EnvConfig) -> jax.Array:
