@@ -313,35 +313,6 @@ def _window_prep(packed: jax.Array, ppos: jax.Array, pfacing: jax.Array,
   return win79
 
 
-def window79_from_slab(slab: jax.Array, px: jax.Array, py: jax.Array,
-                       pfacing: jax.Array, sleeping: jax.Array,
-                       inventory: jax.Array, cfg: EnvConfig) -> jax.Array:
-  """(B, gw, gh) aligned window slabs -> (B, 79) rows for
-  :func:`render_win79`.
-
-  ``slab`` holds packed mid | ctex<<4 cells already positioned at the
-  player's view window (step.GroupSnaps.win cut to the view columns);
-  out-of-world positions hold wrapped garbage that the ``inside`` mask
-  replaces with the gray/out-of-bounds candidates — identical semantics
-  to :func:`_window_prep` on the full cell plane (engine.py:165-181).
-  """
-  gw, gh = cfg.local_grid
-  w, h = cfg.area
-  b = slab.shape[0]
-  win = slab.astype(jnp.int32)
-  xs = px[:, None] + jnp.arange(gw)[None] - gw // 2        # (B, gw)
-  ys = py[:, None] + jnp.arange(gh)[None] - gh // 2        # (B, gh)
-  inside = (((xs >= 0) & (xs < w))[:, :, None]
-            & ((ys >= 0) & (ys < h))[:, None, :])          # (B, gw, gh)
-  mid = jnp.where(inside, win & 15, GRAY_ID)
-  ctex = jnp.where(inside, (win >> 4) & 15, 0)
-  ptex = jnp.where(sleeping != 0, TEX_PLAYER_SLEEP, TEX_PLAYER + pfacing)
-  texid = jnp.where(ctex == TEX_PLAYER, ptex[:, None, None], ctex)
-  return jnp.concatenate([
-      (mid | (texid << 4)).reshape(b, gw * gh),
-      jnp.clip(inventory.astype(jnp.int32), 0, 9)], -1)
-
-
 def _render_core(win79, daylight, sleeping, seed, mats, sprs, expand, vig,
                  vmask):
   """Frame synthesis on flat pixel lanes (last axis = C) — backend-shared.
