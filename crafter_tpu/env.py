@@ -531,19 +531,15 @@ def vec_step_group_obs(vs: VecState, actions: jax.Array, cfg: EnvConfig,
           (step0[None, :] + 1 + jnp.arange(km1)[:, None]).reshape(-1)),
       jax.vmap(render_lib._noise_seed)(fin.key, fin.step)])
   # Rows are already (tick 0..K-2) x N followed by the N final frames —
-  # exactly (K, N) order — so the batch split is a free int32 reshape.
-  if c % 4 == 0:
-    # The kernel emits the NHWC byte stream as int32 words
-    # (render._compact_words): the uint8 "unpack" is a pure bitcast.
-    wout = render_lib.render_frames(packed, ppos, pfac, slp, inv, steps,
-                                    seeds, cfg, core.atlas, cfg.size,
-                                    out_format='words')
-    obs = render_lib._image_from_words(wout.reshape(k, n, -1), cfg.size)
-  else:
-    px = render_lib.render_frames(packed, ppos, pfac, slp, inv, steps,
-                                  seeds, cfg, core.atlas, cfg.size,
-                                  packed_out=True)
-    obs = render_lib._frame_image(px.reshape(k, n, c), cfg.size)
+  # exactly (K, N) order — so the batch split is a free int32 reshape and
+  # the uint8 unpack lands directly in the output shape (one copy).
+  # NOT 'words': the in-kernel byte compaction measured 748k -> 599k
+  # end-to-end — the 12-stage roll ladder costs ~13 ms/group, more than
+  # double the ~5.8 ms unpack it replaces (PERF.md dead-end ledger).
+  px = render_lib.render_frames(packed, ppos, pfac, slp, inv, steps,
+                                seeds, cfg, core.atlas, cfg.size,
+                                packed_out=True)
+  obs = render_lib._frame_image(px.reshape(k, n, c), cfg.size)
   return vs, outs, obs
 
 

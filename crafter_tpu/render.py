@@ -539,14 +539,15 @@ def render_frames(packed: jax.Array, ppos: jax.Array, pfacing: jax.Array,
   group kernel's snapshots); ``seeds``: (B,) int32 from
   :func:`_noise_seed`.  ``out_format``:
 
-  * ``'frames'`` (default) — (B, size[1], size[0], 3) uint8.  When C
-    divides by 4 the kernel emits the NHWC byte stream directly as
-    int32 words (:func:`_compact_words`, lane-roll ladder in VMEM), so
-    the external unpack is a pure bitcast — the separate uint8 4->3
-    slice copy never runs.
-  * ``'words'`` — the raw (B, 3C/4) int32 byte-stream words for callers
-    that reshape the batch before the (free) bitcast to uint8
-    (:func:`_image_from_words`).
+  * ``'frames'`` (default) — (B, size[1], size[0], 3) uint8 via the
+    external bitcast + 4->3 slice (:func:`_frame_image`).
+  * ``'words'`` — the kernel compacts the NHWC byte stream into (B,
+    3C/4) int32 words (:func:`_compact_words`, lane-roll ladder in
+    VMEM), making the external unpack a pure bitcast
+    (:func:`_image_from_words`).  Measured SLOWER end-to-end than
+    'frames' (pixel 748k -> 599k: the 12-stage ladder costs ~13
+    ms/group vs the ~5.8 ms slice copy it replaces — PERF.md dead-end
+    ledger); kept for callers that need the byte stream itself.
   * ``'packed'`` — (B, C) int32 r|g<<8|b<<16 pixel lanes (the CNN's
     packed transport; ``packed_out=True`` is the legacy spelling).
   """
@@ -574,8 +575,8 @@ def render_win79(win79: jax.Array, daylight: jax.Array,
 
   n = win79.shape[0]
   c = atlas.vignette.shape[-1]
-  words = out_format in ('frames', 'words') and c % 4 == 0
-  assert words or out_format != 'words', 'words output needs C % 4 == 0'
+  words = out_format == 'words'
+  assert not words or c % 4 == 0, 'words output needs C % 4 == 0'
   out_w = 3 * c // 4 if words else c
 
   ins = [win79.astype(jnp.int32),
@@ -624,7 +625,7 @@ def render_win79(win79: jax.Array, daylight: jax.Array,
   px = px[:n]
   if out_format in ('packed', 'words'):
     return px
-  return _image_from_words(px, size) if words else _frame_image(px, size)
+  return _frame_image(px, size)
 
 
 def semantic_view(state: State, cfg: EnvConfig) -> jax.Array:
