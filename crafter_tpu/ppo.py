@@ -54,6 +54,14 @@ class PPOConfig:
   # the SGD wall on 8 devices).  make_sharded_train resolves None by mesh
   # size; a bare PPO() resolves it to the single-device choice.
   time_minibatch: Optional[bool] = None
+  # Global-mode shuffle cadence.  'update' (default): ONE whole-batch
+  # gather per update; the minibatch PARTITION holds across the E epochs
+  # (visit order still re-permutes per epoch).  This deviates from SB3's
+  # per-epoch reshuffle, but uint8 frame gathers run ~4x over HBM
+  # roofline on TPU (minor-dim-3 layout inflation, PERF.md), so per-epoch
+  # gathers cost ~190 ms of a ~1.1 s update; quality re-validated at
+  # parity (RESULTS.md).  'epoch': SB3-exact per-epoch reshuffle.
+  shuffle_per: str = 'update'
 
 
 @struct.dataclass
@@ -247,42 +255,89 @@ class PPO:
     cfg = self.cfg
     time_mb = bool(cfg.time_minibatch)
     adv, ret = self._gae(traj, last_value)
-    data = (traj.obs, traj.action, traj.logp, adv, ret)
+    obs_hw = traj.obs.shape[2:]
     if not time_mb:
+      # Frames stay in their NHWC rows through the shuffle: carrying them
+      # FLAT (B, H*W*3) makes the gather ~30% cheaper but moves a full
+      # u8 relayout into every loss entry — the (mb, 12288) ->
+      # (mb, 64, 64, 3) reshape costs ~134 ms/update, eating the gather
+      # savings twice over (profiled; tools/bench_obs_shuffle.py has the
+      # isolated numbers).
       batch_n = cfg.rollout_len * cfg.num_envs
       data = jax.tree.map(
-          lambda x: x.reshape((batch_n,) + x.shape[2:]), data)
-      perm_n = batch_n
-      gather = lambda x, idx: x[idx]
+          lambda x: x.reshape((batch_n,) + x.shape[2:]),
+          (traj.obs, traj.action, traj.logp, adv, ret))
     else:
-      perm_n = cfg.rollout_len
-      gather = lambda x, idx: x[idx].reshape((-1,) + x.shape[2:])
+      data = (traj.obs, traj.action, traj.logp, adv, ret)
 
-    def epoch(carry, _):
-      params, opt_state, key = carry
-      key, k_perm = jax.random.split(key)
-      perm = jax.random.permutation(k_perm, perm_n)
+    def sgd_step(params, opt_state, mb):
+      obs_mb = mb[0].reshape((-1,) + obs_hw)
+      (loss, aux), grads = jax.value_and_grad(self._loss, has_aux=True)(
+          params, (obs_mb,) + mb[1:])
+      updates, opt_state = self.tx.update(grads, opt_state, params)
+      params = optax.apply_updates(params, updates)
+      return params, opt_state, dict(loss=loss, **aux)
 
-      def minibatch(carry, idx):
-        params, opt_state = carry
+    mb_n = ((cfg.rollout_len if time_mb else batch_n) // cfg.minibatches)
+
+    if not time_mb and cfg.shuffle_per == 'update':
+      # ONE whole-batch gather; epochs sweep contiguous minibatch slices
+      # of the shuffled copy in a per-epoch random visit order.  The
+      # partition is fixed across this update's epochs (PPOConfig.
+      # shuffle_per) — per-epoch reshuffles re-pay the ~4x-over-roofline
+      # u8 frame gather twice more for ~190 ms/update.
+      key, k_perm = jax.random.split(ts.key)
+      shuf = jax.tree.map(
+          lambda x: x[jax.random.permutation(k_perm, batch_n)], data)
+
+      def epoch(carry, _):
+        params, opt_state, key = carry
+        key, k_ord = jax.random.split(key)
+        order = jax.random.permutation(k_ord, cfg.minibatches)
+
+        def minibatch(carry, j):
+          params, opt_state = carry
+          mb = jax.tree.map(
+              lambda x: jax.lax.dynamic_slice_in_dim(x, j * mb_n, mb_n),
+              shuf)
+          params, opt_state, metrics = sgd_step(params, opt_state, mb)
+          return (params, opt_state), metrics
+
+        (params, opt_state), metrics = jax.lax.scan(
+            minibatch, (params, opt_state), order)
+        return (params, opt_state, key), metrics
+
+      (params, opt_state, key), metrics = jax.lax.scan(
+          epoch, (ts.params, ts.opt_state, key), None, length=cfg.epochs)
+    else:
+      perm_n = cfg.rollout_len if time_mb else batch_n
+      if time_mb:
         # Time-axis mode gathers T/M time rows (axis 0 is unsharded —
         # shard-local) and flattens time-major: a free reshape on device
         # (an env-major swapaxes relayouts ~0.5 GB of uint8 frames per
-        # minibatch).  Global mode gathers sample rows directly.
-        mb = jax.tree.map(lambda x: gather(x, idx), data)
-        (loss, aux), grads = jax.value_and_grad(self._loss, has_aux=True)(
-            params, mb)
-        updates, opt_state = self.tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return (params, opt_state), dict(loss=loss, **aux)
+        # minibatch).  Global mode gathers flat sample rows directly.
+        gather = lambda x, idx: x[idx].reshape((-1,) + x.shape[2:])
+      else:
+        gather = lambda x, idx: x[idx]
 
-      idxs = perm.reshape(cfg.minibatches, perm_n // cfg.minibatches)
-      (params, opt_state), metrics = jax.lax.scan(
-          minibatch, (params, opt_state), idxs)
-      return (params, opt_state, key), metrics
+      def epoch(carry, _):
+        params, opt_state, key = carry
+        key, k_perm = jax.random.split(key)
+        perm = jax.random.permutation(k_perm, perm_n)
 
-    (params, opt_state, key), metrics = jax.lax.scan(
-        epoch, (ts.params, ts.opt_state, ts.key), None, length=cfg.epochs)
+        def minibatch(carry, idx):
+          params, opt_state = carry
+          mb = jax.tree.map(lambda x: gather(x, idx), data)
+          params, opt_state, metrics = sgd_step(params, opt_state, mb)
+          return (params, opt_state), metrics
+
+        idxs = perm.reshape(cfg.minibatches, perm_n // cfg.minibatches)
+        (params, opt_state), metrics = jax.lax.scan(
+            minibatch, (params, opt_state), idxs)
+        return (params, opt_state, key), metrics
+
+      (params, opt_state, key), metrics = jax.lax.scan(
+          epoch, (ts.params, ts.opt_state, ts.key), None, length=cfg.epochs)
     metrics = jax.tree.map(lambda x: x.mean(), metrics)
     metrics['reward_per_step'] = traj.reward.mean()
     metrics['episodes_done'] = traj.ended.sum()
